@@ -1,0 +1,60 @@
+"""Runtime configuration via environment variables.
+
+TPU-native analog of the reference's ``runtime_features.h:15-158`` (env vars
+``SB_*`` read lazily once).  We keep the same spirit with an ``SBT_`` prefix:
+
+  * ``SBT_LOG``   (int, default 0): >0 prints operation-level logging.
+  * ``SBT_DEBUG`` (int, default 0): 0 none; >=1 cross-process consistency
+    checks on distributed ops; >=2 mock-index verification of every
+    distributed copy (see utils/testing.py).
+  * ``SBT_TRACK_TIME`` (0/1): enable the tracker (utils/tracker.py).
+  * ``SBT_TRACK_MEM``  (0/1): enable live-array accounting.
+  * ``SBT_PALLAS``     (0/1, default 1): allow Pallas kernels on TPU; 0
+    forces the pure-XLA fallbacks everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=None)
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(f"environment variable {name} must be an int, got {v!r}")
+
+
+def get_log_level() -> int:
+    return _env_int("SBT_LOG", 0)
+
+
+def get_debug_level() -> int:
+    return _env_int("SBT_DEBUG", 0)
+
+
+def get_track_time() -> bool:
+    return bool(_env_int("SBT_TRACK_TIME", 0))
+
+
+def get_track_mem() -> bool:
+    return bool(_env_int("SBT_TRACK_MEM", 0))
+
+
+def get_use_pallas() -> bool:
+    return bool(_env_int("SBT_PALLAS", 1))
+
+
+def clear_cache() -> None:
+    """Re-read environment variables (for tests)."""
+    _env_int.cache_clear()
+
+
+def log(level: int, msg: str) -> None:
+    if get_log_level() >= level:
+        print(f"[sbt] {msg}", flush=True)
