@@ -1,0 +1,193 @@
+"""Distributed copy / contraction: the GSPMD replacement for the MPI layer.
+
+The reference's distribution layer (dist.h:2264-3245) plans box
+intersections, packs fragments, and exchanges them with MPI_Ialltoallv.
+On TPU the same operations are *compiled*: operands are global jax arrays
+carrying shardings; we express the op on global values (reusing the local
+engine, which is sharding-oblivious), attach the requested output sharding,
+and XLA GSPMD emits the all-to-all / collective-permute / psum schedule
+over ICI.  The "plan cache" of the reference (dist.h:2303-2349) becomes
+XLA's compilation cache, keyed here by the static argument tuple.
+
+Consistency checking (the reference's SB_DEBUG ladder, dist.h:708-737)
+is in utils/testing.py; at SBT_DEBUG>=2 every distributed copy is
+replayed with a mock-index verifier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .. import flags
+from ..ops.contract import local_contraction
+from ..ops.copy import local_copy
+
+
+def _constrain(x, sharding):
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def _harmonize(*arrays):
+    """Move operands onto a common device set.
+
+    The reference accepts operands with disjoint homes (e.g. an "on
+    master" tensor contracted against an "on everyone" one) and
+    redistributes internally (dist.h:3039-3090).  jit requires one device
+    set, so single-device (or smaller-set) operands are broadcast as
+    replicated over the largest participating mesh.
+    """
+    arrs = [a for a in arrays if isinstance(a, jax.Array)]
+    device_sets = {}
+    for a in arrs:
+        ds = tuple(sorted(d.id for d in a.sharding.device_set))
+        device_sets.setdefault(ds, []).append(a)
+    if len(device_sets) <= 1:
+        return arrays
+    largest = max(device_sets, key=len)
+    # find a mesh to replicate over
+    mesh = None
+    for a in device_sets[largest]:
+        if isinstance(a.sharding, jax.sharding.NamedSharding):
+            mesh = a.sharding.mesh
+            break
+    out = []
+    for a in arrays:
+        if not isinstance(a, jax.Array):
+            out.append(a)
+            continue
+        ds = tuple(sorted(d.id for d in a.sharding.device_set))
+        if ds == largest:
+            out.append(a)
+        elif mesh is not None:
+            out.append(jax.device_put(
+                a, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec())))
+        else:
+            out.append(a)
+    return tuple(out)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "o0", "o1", "from0", "size0", "from1", "copy_add", "out_sharding",
+    ),
+)
+def _copy_jit(alpha, x, y, *, o0, o1, from0, size0, from1, copy_add, out_sharding):
+    out = local_copy(
+        alpha, x, o0, y, o1,
+        from0=from0, size0=size0, from1=from1, copy_add=copy_add,
+    )
+    return _constrain(out, out_sharding)
+
+
+def copy(
+    alpha,
+    x: jax.Array,
+    o0: str,
+    y: jax.Array,
+    o1: str,
+    from0=None,
+    size0=None,
+    from1=None,
+    copy_add: str = "copy",
+    out_sharding=None,
+    mask0=None,
+    mask1=None,
+) -> jax.Array:
+    """Distributed label-based box copy (public `copy`, dist.h:3534/3583).
+
+    ``x`` and ``y`` are global (possibly sharded) arrays; the result
+    carries ``out_sharding`` if given, else whatever GSPMD propagates.
+    Works standalone (jitted here) and the underlying ``local_copy`` can
+    be used directly inside a larger jit.
+    """
+    if flags.get_debug_level() >= 2:
+        from ..utils.testing import verify_copy
+
+        verify_copy(x.shape, o0, y.shape, o1, from0, size0, from1, copy_add)
+    norm = lambda t, n: tuple(int(v) for v in t) if t is not None else None
+    if mask0 is not None or mask1 is not None:
+        # Masked copies use host-side mask metadata; run eagerly via the
+        # local engine then constrain.
+        out = local_copy(alpha, x, o0, y, o1, from0=from0, size0=size0,
+                         from1=from1, copy_add=copy_add, mask0=mask0, mask1=mask1)
+        return jax.device_put(out, out_sharding) if out_sharding is not None else out
+    x, y = _harmonize(x, y)
+    return _copy_jit(
+        alpha, x, y,
+        o0=o0, o1=o1,
+        from0=norm(from0, len(o0)), size0=norm(size0, len(o0)),
+        from1=norm(from1, len(o1)),
+        copy_add=copy_add, out_sharding=out_sharding,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("o0", "conj0", "o1", "conj1", "o_r", "out_sharding"),
+)
+def _contraction_jit(alpha, x0, x1, beta, r, *, o0, conj0, o1, conj1, o_r,
+                     out_sharding):
+    out = local_contraction(alpha, x0, o0, conj0, x1, o1, conj1, beta, r, o_r)
+    return _constrain(out, out_sharding)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("o0", "conj0", "o1", "conj1", "o_r", "dimr", "dtype",
+                     "out_sharding"),
+)
+def _contraction_jit_nor(alpha, x0, x1, *, o0, conj0, o1, conj1, o_r, dimr,
+                         dtype, out_sharding):
+    out = local_contraction(
+        alpha, x0, o0, conj0, x1, o1, conj1, 0.0, None, o_r, dimr=dimr,
+        dtype=dtype,
+    )
+    return _constrain(out, out_sharding)
+
+
+def contraction(
+    alpha,
+    x0: jax.Array,
+    o0: str,
+    conj0: bool,
+    x1: jax.Array,
+    o1: str,
+    conj1: bool,
+    beta,
+    r: Optional[jax.Array],
+    o_r: str,
+    out_sharding=None,
+) -> jax.Array:
+    """Distributed contraction r = alpha * x0·x1 + beta * r (dist.h:3631).
+
+    The reference co-partitions operands, replicates the smaller one, runs
+    local GEMMs and Add-reduces partials (dist.h:3039-3196); under GSPMD
+    that entire schedule is derived by XLA from the operand shardings and
+    the requested output sharding (psum over mesh axes that shard
+    contracted labels).
+    """
+    x0, x1, r = _harmonize(x0, x1, r)
+    if r is not None:
+        return _contraction_jit(
+            alpha, x0, x1, beta, r,
+            o0=o0, conj0=bool(conj0), o1=o1, conj1=bool(conj1), o_r=o_r,
+            out_sharding=out_sharding,
+        )
+    return _contraction_jit_nor(
+        alpha, x0, x1,
+        o0=o0, conj0=bool(conj0), o1=o1, conj1=bool(conj1), o_r=o_r,
+        dimr=None, dtype=None, out_sharding=out_sharding,
+    )
+
+
+def redistribute(x: jax.Array, sharding) -> jax.Array:
+    """Reshard a global array (the pure-layout case of distributed copy)."""
+    return jax.device_put(x, sharding)

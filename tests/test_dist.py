@@ -1,0 +1,151 @@
+"""Distributed copy/contraction over an 8-device virtual mesh.
+
+Analog of the reference's distributed sweeps (tests/contract.cpp
+distributions OnMaster/OnEveryone/OnEveryoneReplicated; tests/dist.cpp
+copy/permute benchmarks): operands are placed with explicit shardings and
+the results must match the local oracle bit-for-bit while landing with the
+requested output sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from superbblas_tpu import parallel as par
+from superbblas_tpu.utils import numpy_contraction_reference, numpy_copy_reference
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return par.make_mesh({"x": 2, "y": 2, "t": 2})
+
+
+def rand(shape, dtype=np.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(dtype, np.complexfloating):
+        return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
+    return rng.standard_normal(shape).astype(dtype)
+
+
+def test_partition_sharding_grid(mesh):
+    part = par.basic_partitioning("xyts", (8, 8, 4, 3), (2, 2, 2, 1))
+    sh = par.partition_sharding(part, "xyts")
+    assert sh is not None
+    x = jax.device_put(jnp.zeros((8, 8, 4, 3)), sh)
+    # each device holds a (4,4,2,3) block
+    assert x.addressable_shards[0].data.shape == (4, 4, 2, 3)
+
+
+def test_partition_sharding_onmaster():
+    part = par.Partition(
+        dim=(4, 4),
+        boxes=(((0, 0), (4, 4)),) + (((0, 0), (0, 0)),) * 7,
+    )
+    sh = par.partition_sharding(part, "xy")
+    assert isinstance(sh, jax.sharding.SingleDeviceSharding)
+
+
+def test_partition_sharding_replicated():
+    part = par.basic_partitioning("xy", (4, 4), (1, 1), nprocs=8, replicate=True)
+    sh = par.partition_sharding(part, "xy")
+    x = jax.device_put(jnp.ones((4, 4)), sh)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[3].data.shape == (4, 4)
+
+
+def test_partition_sharding_uneven_returns_none(mesh):
+    part = par.basic_partitioning("x", (10,), (4,))
+    assert par.partition_sharding(part, "x") is None
+
+
+def test_sharding_partition_roundtrip(mesh):
+    sh = NamedSharding(mesh, P("x", "y", None))
+    part = par.sharding_partition(sh, (8, 8, 3))
+    assert part.grid_shape() == (2, 2, 1)
+    assert sorted(b[0] for b in part.boxes)[0] == (0, 0, 0)
+
+
+def test_distributed_copy_reshard(mesh):
+    """Copy a permuted box between differently-sharded tensors."""
+    x = rand((8, 8, 4), seed=1)
+    y = rand((4, 8, 8), seed=2)
+    sx = NamedSharding(mesh, P("x", "y", "t"))
+    sy = NamedSharding(mesh, P("t", "y", "x"))
+    xd = jax.device_put(jnp.asarray(x), sx)
+    yd = jax.device_put(jnp.asarray(y), sy)
+    got = par.copy(2.0, xd, "xyt", yd, "tyx",
+                   from0=(1, 2, 0), size0=(4, 4, 4), from1=(0, 1, 3),
+                   copy_add="add", out_sharding=sy)
+    want = numpy_copy_reference(2.0, x, "xyt", y, "tyx",
+                                (1, 2, 0), (4, 4, 4), (0, 1, 3), "add")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+    assert got.sharding.is_equivalent_to(sy, got.ndim)
+
+
+def test_distributed_copy_wrap(mesh):
+    x = rand((8, 8), seed=3)
+    y = rand((8, 8), seed=4)
+    sx = NamedSharding(mesh, P("x", "y"))
+    xd = jax.device_put(jnp.asarray(x), sx)
+    yd = jax.device_put(jnp.asarray(y), sx)
+    got = par.copy(1.0, xd, "xy", yd, "xy",
+                   from0=(6, 6), size0=(4, 4), from1=(7, 0), copy_add="copy",
+                   out_sharding=sx)
+    want = numpy_copy_reference(1.0, x, "xy", y, "xy", (6, 6), (4, 4), (7, 0), "copy")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("dist0,dist1", [
+    ("everyone", "everyone"),
+    ("everyone", "replicated"),
+    ("replicated", "everyone"),
+    ("master", "everyone"),
+])
+def test_distributed_contraction(mesh, dist0, dist1):
+    """Sharded einsum with contracted axes split over the mesh: GSPMD must
+    insert the partial-sum reduction the reference does explicitly
+    (dist.h:3184-3186)."""
+    def shard(arr, kind, spec):
+        if kind == "everyone":
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+        if kind == "replicated":
+            return jax.device_put(arr, NamedSharding(mesh, P()))
+        return jax.device_put(arr, jax.devices()[0])
+
+    x0 = rand((8, 8, 6), np.complex128, seed=5)   # t a b   (a contracted)
+    x1 = rand((8, 8, 4), np.complex128, seed=6)   # t a c
+    r = rand((8, 6, 4), np.complex128, seed=7)    # t b c
+    x0d = shard(jnp.asarray(x0), dist0, P("t", "x", None))
+    x1d = shard(jnp.asarray(x1), dist1, P("t", "x", None))
+    rd = jax.device_put(jnp.asarray(r), NamedSharding(mesh, P("t", None, None)))
+    got = par.contraction(1.5 + 0.5j, x0d, "tab", False, x1d, "tac", True,
+                          -0.5, rd, "tbc",
+                          out_sharding=NamedSharding(mesh, P("t", None, None)))
+    want = numpy_contraction_reference(1.5 + 0.5j, x0, "tab", False,
+                                       x1, "tac", True, -0.5, r, "tbc")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10)
+
+
+def test_redistribute(mesh):
+    x = rand((8, 8), seed=8)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x", None)))
+    y = par.redistribute(xd, NamedSharding(mesh, P(None, "y")))
+    np.testing.assert_array_equal(np.asarray(y), x)
+    assert y.sharding.spec == P(None, "y")
+
+
+def test_copy_matches_reference_partitioning_end_to_end(mesh):
+    """basic_partitioning -> sharding -> distributed copy round trip."""
+    part0 = par.basic_partitioning("xyt", (8, 4, 4), (2, 2, 2))
+    part1 = par.basic_partitioning("xyt", (8, 4, 4), (2, 1, 4))
+    s0 = par.partition_sharding(part0, "xyt")
+    mesh1 = par.make_mesh({"x": 2, "t": 4})
+    s1 = par.partition_sharding(part1, "xyt", mesh=mesh1)
+    x = rand((8, 4, 4), seed=9)
+    xd = jax.device_put(jnp.asarray(x), s0)
+    y = jnp.zeros((8, 4, 4))
+    got = par.copy(1.0, xd, "xyt", y, "xyt", out_sharding=s1)
+    np.testing.assert_array_equal(np.asarray(got), x)
+    assert got.sharding.is_equivalent_to(s1, got.ndim)

@@ -1,0 +1,154 @@
+"""Partition-layer unit tests (reference analog: tests/dist.cpp:103-126
+exact-partition checks and the make_hole checks)."""
+
+import numpy as np
+import pytest
+
+from superbblas_tpu.labels import intersect_box, volume
+from superbblas_tpu.parallel import (
+    Factors23,
+    Partition,
+    basic_partitioning,
+    box_minus,
+    make_hole,
+    partitioning_distributed_procs,
+    subtract_interval,
+)
+
+
+def test_factors23_exact():
+    for n, v in [(1, 1), (2, 2), (3, 3), (4, 4), (6, 6), (8, 8), (12, 12),
+                 (16, 16), (24, 24)]:
+        assert Factors23(n).value == v
+
+
+def test_factors23_approx_lower_bound():
+    for n in range(1, 200):
+        f = Factors23(n)
+        assert f.value <= n
+        assert f.value * 4 >= n * 3  # >= 0.75 n
+        assert f.value == 2 ** f.two * 3 ** f.three
+
+
+def test_partitioning_distributed_procs_basic():
+    # 4 procs over xyzt with equal dims: factors go to distinct largest axes
+    p = partitioning_distributed_procs("xyzt", (8, 8, 8, 8), "tzyx", 4)
+    assert volume(p) == 4
+    assert sorted(p) == [1, 1, 2, 2]
+
+
+def test_partitioning_distributed_procs_skips_singletons():
+    p = partitioning_distributed_procs("xyzt", (1, 8, 1, 8), "xyzt", 4)
+    assert p[0] == 1 and p[2] == 1
+    assert volume(p) == 4
+
+
+def test_partitioning_distributed_procs_prefers_large():
+    p = partitioning_distributed_procs("xy", (16, 2), "xy", 8)
+    assert p == (8, 1) or volume(p) == 8 and p[0] >= p[1]
+
+
+def test_basic_partitioning_even():
+    part = basic_partitioning("xy", (8, 4), (2, 2))
+    assert part.nprocs == 4
+    assert part.grid_shape() == (2, 2)
+    # rank scan: first label slowest
+    assert part.box(0) == ((0, 0), (4, 2))
+    assert part.box(1) == ((0, 2), (4, 2))
+    assert part.box(2) == ((4, 0), (4, 2))
+    assert part.box(3) == ((4, 2), (4, 2))
+
+
+def test_basic_partitioning_uneven_remainder_first():
+    part = basic_partitioning("x", (10,), (4,))
+    sizes = [b[1][0] for b in part.boxes]
+    froms = [b[0][0] for b in part.boxes]
+    assert sizes == [3, 3, 2, 2]
+    assert froms == [0, 3, 6, 8]
+
+
+def test_basic_partitioning_dist_labels_scan_order():
+    # with dist_labels "yx", y varies slowest
+    part = basic_partitioning("xy", (4, 4), (2, 2), dist_labels="yx")
+    assert part.box(0) == ((0, 0), (2, 2))
+    assert part.box(1) == ((2, 0), (2, 2))  # x moves fastest
+    assert part.box(2) == ((0, 2), (2, 2))
+
+
+def test_basic_partitioning_ext_power():
+    part = basic_partitioning("x", (8,), (2,), ext_power=(1,))
+    assert part.box(0) == ((7,), (6,))   # [0,4) extended by 1 both sides, wraps
+    assert part.box(1) == ((3,), (6,))
+
+
+def test_basic_partitioning_ext_power_clamps():
+    part = basic_partitioning("x", (4,), (2,), ext_power=(2,))
+    for b in part.boxes:
+        assert b == ((0,), (4,))
+
+
+def test_basic_partitioning_replicate():
+    part = basic_partitioning("xy", (4, 4), (1, 1), nprocs=4, replicate=True)
+    assert part.is_replicated()
+    assert len(part.boxes) == 4
+
+
+def test_basic_partitioning_more_procs_than_elems():
+    part = basic_partitioning("x", (2,), (1,), nprocs=4)
+    assert volume(part.box(3)[1]) == 0
+
+
+def test_subtract_interval():
+    assert subtract_interval(0, 8, 2, 3, 8) == [(0, 2), (5, 3)]
+    assert subtract_interval(0, 4, 4, 4, 8) == [(0, 4)]
+    assert subtract_interval(0, 4, 0, 8, 8) == []
+    # wrapped hole
+    assert subtract_interval(0, 8, 6, 4, 8) == [(2, 4)]
+
+
+def _covered(boxes, dim):
+    """Set of lattice points covered by the boxes."""
+    pts = set()
+    import itertools
+    for frm, size in boxes:
+        for rel in itertools.product(*[range(s) for s in size]):
+            pts.add(tuple((f + r) % d for f, r, d in zip(frm, rel, dim)))
+    return pts
+
+
+def test_box_minus_exact_cover():
+    dim = (6, 6)
+    box = ((1, 1), (4, 4))
+    hole = ((2, 2), (2, 2))
+    frags = box_minus(box[0], box[1], hole[0], hole[1], dim)
+    want = _covered([box], dim) - _covered([hole], dim)
+    got = _covered(frags, dim)
+    assert got == want
+    # disjoint
+    total = sum(volume(s) for _, s in frags)
+    assert total == len(got)
+
+
+def test_box_minus_wrapped():
+    dim = (8,)
+    frags = box_minus((6,), (4,), (0,), (2,), dim)   # box wraps, hole at start
+    want = _covered([((6,), (4,))], dim) - _covered([((0,), (2,))], dim)
+    assert _covered(frags, dim) == want
+
+
+def test_make_hole_full_cover():
+    part = basic_partitioning("xy", (8, 8), (2, 2))
+    holed = make_hole(part, (3, 3), (2, 2))
+    dim = (8, 8)
+    want = _covered(part.boxes, dim) - _covered([((3, 3), (2, 2))], dim)
+    assert _covered(holed.boxes, dim) == want
+    # fragments within one source box are disjoint
+    tot = sum(volume(s) for _, s in holed.boxes)
+    assert tot == len(want)
+
+
+def test_has_full_support():
+    part = basic_partitioning("xy", (4, 4), (2, 2))
+    assert part.has_full_support()
+    holed = make_hole(part, (0, 0), (1, 1))
+    assert not holed.has_full_support()
