@@ -1,0 +1,172 @@
+"""Headline benchmark: dense label-driven contraction GFLOP/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the driver-provided
+target is >= 60% MXU utilization on dense contractions.  ``vs_baseline``
+is therefore achieved-GFLOP/s divided by that target (0.6 x peak bf16
+FLOP/s of the local chip): >= 1.0 means the target is met.
+
+Methodology: the device sits behind a high-latency tunnel in this
+environment (dispatch+fetch ~25 ms), so each measurement chains the
+workload N times inside one jitted lax.scan, fetches a scalar, and uses
+two-point timing ((t(N2)-t(N1)) / (N2-N1)) to cancel the fixed latency.
+
+--all additionally prints BSR-matvec and permute-copy lines.
+"""
+
+import json
+import sys
+import time
+
+
+# Per-chip dense peak (bf16 MAC) FLOP/s.
+PEAKS = {
+    "v5 lite": 197e12,   # TPU v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,
+    "cpu": 1e11,
+}
+
+
+def chip_peak(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, val in PEAKS.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def time_chained(make_fn, n1=20, n2=100):
+    """Two-point latency-cancelled timing of a chained workload.
+
+    ``make_fn(n)`` must return a jitted nullary-ish callable running the
+    step n times and returning a scalar.
+    """
+    import jax
+
+    results = {}
+    for n in (n1, n2):
+        fn = make_fn(n)
+        float(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn())
+            best = min(best, time.perf_counter() - t0)
+        results[n] = best
+    return (results[n2] - results[n1]) / (n2 - n1)
+
+
+def bench_contraction():
+    import jax
+    import jax.numpy as jnp
+
+    from superbblas_tpu import local_contraction
+
+    T, A, B, C = 8, 1024, 1024, 1024
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (T, A, B), dtype=jnp.bfloat16)
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (T, A, C),
+                           dtype=jnp.bfloat16)
+
+    def make_fn(n):
+        def chained(a, b):
+            def body(c, _):
+                out = local_contraction(
+                    1.0, c, "tab", False, b, "tac", False, 0.0, None, "tbc")
+                return out.astype(a.dtype), ()
+            c, _ = jax.lax.scan(body, a, None, length=n)
+            return jnp.sum(c.astype(jnp.float32))
+        jitted = jax.jit(chained)
+        return lambda: jitted(x0, x1)
+
+    dt = time_chained(make_fn)
+    flops = 2 * T * A * B * C
+    return flops / dt / 1e9, dt
+
+
+def bench_bsr(lat=(16, 16, 16, 16), ncols=16):
+    import jax
+    import jax.numpy as jnp
+
+    from superbblas_tpu.models import apply_wilson, wilson_operator
+
+    op = wilson_operator(lat, mass=0.1, key=jax.random.PRNGKey(0),
+                         dtype=jnp.complex64)
+    x = jax.random.normal(jax.random.PRNGKey(1), lat + (4, 3, ncols),
+                          dtype=jnp.float32).astype(jnp.complex64)
+
+    def make_fn(n):
+        def chained(xv):
+            def body(c, _):
+                return apply_wilson(op, c), ()
+            c, _ = jax.lax.scan(body, xv, None, length=n)
+            return jnp.sum(jnp.abs(c))
+        jitted = jax.jit(chained)
+        return lambda: jitted(x)
+
+    dt = time_chained(make_fn, n1=5, n2=25)
+    flops = op.flops_per_matvec(ncols, complex_dtype=True)
+    memops = op.memops_per_matvec(ncols, itemsize=8)
+    return flops / dt / 1e9, memops / dt / 1e9, dt
+
+
+def bench_copy(shape=(64, 64, 64, 64)):
+    import jax
+    import jax.numpy as jnp
+
+    from superbblas_tpu import local_permute
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
+
+    def make_fn(n):
+        def chained(v):
+            def body(c, _):
+                # reversal permute is self-inverse; +1 defeats
+                # double-transpose simplification across iterations
+                return local_permute(c, "xyzt", "tzyx") + 1.0, ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(c)
+        jitted = jax.jit(chained)
+        return lambda: jitted(x)
+
+    dt = time_chained(make_fn, n1=10, n2=50)
+    nbytes = 2 * x.size * 4   # one read + one write per step
+    return nbytes / dt / 1e9, dt
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    gflops, dt = bench_contraction()
+    target = 0.6 * chip_peak(dev) / 1e9
+    print(json.dumps({
+        "metric": "dense_contraction_gflops",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / target, 4),
+    }))
+    if "--all" in sys.argv:
+        bsr_gf, bsr_gb, bsr_dt = bench_bsr()
+        print(json.dumps({
+            "metric": "bsr_wilson_matvec_gflops",
+            "value": round(bsr_gf, 1),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(bsr_gb / 800.0, 4),  # vs ~800 GB/s HBM
+        }))
+        cp_gb, cp_dt = bench_copy()
+        print(json.dumps({
+            "metric": "permute_copy_bandwidth",
+            "value": round(cp_gb, 1),
+            "unit": "GB/s",
+            "vs_baseline": round(cp_gb / 800.0, 4),
+        }))
+
+
+if __name__ == "__main__":
+    main()

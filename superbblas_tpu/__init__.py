@@ -8,17 +8,55 @@ dot_general/Pallas instead of vendor BLAS, ppermute halo exchange instead of
 Ialltoallv.
 """
 
-from . import flags, labels
+from . import bsr, flags, labels, models, parallel, utils
+from .bsr import (
+    BSROperator,
+    bsr_from_stencil,
+    bsr_get_preferred_layout,
+    bsr_krylov,
+    create_bsr,
+    create_kron_bsr,
+)
 from .labels import ContractionPlan
 from .ops import local_contraction, local_copy, local_permute
+from .parallel import (
+    Partition,
+    basic_partitioning,
+    contraction,
+    copy,
+    make_hole,
+    make_mesh,
+    partition_sharding,
+    partitioning_distributed_procs,
+    redistribute,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "bsr",
     "flags",
     "labels",
+    "models",
+    "parallel",
+    "utils",
+    "BSROperator",
+    "bsr_from_stencil",
+    "bsr_get_preferred_layout",
+    "bsr_krylov",
+    "create_bsr",
+    "create_kron_bsr",
     "ContractionPlan",
     "local_copy",
     "local_permute",
     "local_contraction",
+    "Partition",
+    "basic_partitioning",
+    "contraction",
+    "copy",
+    "make_hole",
+    "make_mesh",
+    "partition_sharding",
+    "partitioning_distributed_procs",
+    "redistribute",
 ]

@@ -1,0 +1,558 @@
+"""Block-sparse (BSR) lattice operators and their application (bsr_krylov).
+
+TPU-native re-design of the reference's BSR engine
+(``include/superbblas/bsr.h`` in eromero-vlc/superbblas).  The reference
+stores a general block-CSR with *coordinate* column indices
+(bsr.h:66-87), picks among MKL/cuSPARSE/hand-rolled SpMM backends, and
+gathers halos through the MPI redistribution layer (bsr.h:2189-2192).
+
+Here the dominant structure — a nearest-neighbor lattice stencil — is a
+first-class citizen: when every image block row has the same set of
+coordinate *offsets* (detected at construction from the reference-style
+``ii``/``jj`` inputs), the operator is stored as one dense block tensor
+per direction and the matvec becomes
+
+    y = sum_k  blocks[..., k, :, :] @ roll(x, -offset_k)
+
+i.e. a handful of large batched GEMMs on toroidally-shifted operands: MXU
+work with no gather at all.  Under GSPMD-sharded lattice axes the rolls
+compile to neighbor collective-permutes over ICI — the halo exchange of
+the reference (ext_power partitions + redistribution) falls out of the
+sharding.  Irregular operators keep a gather fallback.
+
+The Kronecker-factored variant (create_kron_bsr, bsr.h:2302-2336) stores
+spin factors [ndir, KI, KD] separate from color blocks [*lat, ndir, CI,
+CD] and contracts them in two stages, exactly the flop-saving the
+reference's kron path does (bsr.h:398-451).
+
+Operator powers (the ``okr`` label, bsr.h:2140-2247) compute y_p =
+A^{p+1} x for p = 0..power-1 with a static unrolled loop; XLA overlaps
+the per-step collectives with compute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cplx
+from .labels import Coor, check_order, volume
+from .ops.copy import local_permute
+
+
+def _idx(a, index):
+    """Index/slice that works for plain arrays and split-complex CArray."""
+    if cplx.is_carray(a):
+        return cplx.cmap(lambda v: v[index], a)
+    return a[index]
+
+
+def _stack(arrs, axis):
+    if cplx.is_carray(arrs[0]):
+        return cplx.CArray(
+            jnp.stack([a.re for a in arrs], axis=axis),
+            jnp.stack([a.im for a in arrs], axis=axis),
+        )
+    return jnp.stack(arrs, axis=axis)
+
+
+def _reshape(a, shape):
+    if cplx.is_carray(a):
+        return cplx.cmap(lambda v: v.reshape(shape), a)
+    return a.reshape(shape)
+
+__all__ = [
+    "BSROperator",
+    "create_bsr",
+    "create_kron_bsr",
+    "bsr_from_stencil",
+    "bsr_krylov",
+    "bsr_get_preferred_layout",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class BSROperator:
+    """A block-sparse lattice operator.
+
+    Labels: ``oim`` = image labels (lattice labels then block labels),
+    ``odm`` = domain labels.  ``lat_i``/``lat_d`` are the lattice (block
+    grid) sub-orders; ``blk_i``/``blk_d`` the block sub-orders.  For the
+    Kronecker variant, ``kron_i``/``kron_d`` are additional block labels
+    whose factor is shared by all lattice sites.
+
+    mode "stencil": ``blocks`` has shape [*lat_i, ndir, BI, BD] and
+    ``offsets[k]`` is the lattice offset of direction k (domain - image).
+    mode "gather": ``blocks`` has shape [*lat_i, nnz, BI, BD], ``jj_flat``
+    holds flat domain-site indices [voli, nnz], and ``nnz_mask`` masks
+    per-row padding.
+    """
+
+    oim: str
+    odm: str
+    lat_i: str
+    lat_d: str
+    blk_i: str
+    blk_d: str
+    dim_i: Coor          # lattice dims (image)
+    dim_d: Coor          # lattice dims (domain)
+    bi: Coor             # block dims (image), in blk_i order
+    bd: Coor
+    mode: str
+    blocks: jax.Array
+    offsets: Tuple[Coor, ...] = ()
+    jj_flat: Optional[jax.Array] = None
+    row_counts: Optional[Tuple[int, ...]] = None   # per-row nnz (gather mode)
+    kron: Optional[jax.Array] = None     # [ndir, KI, KD]
+    kron_i: str = ""
+    kron_d: str = ""
+    ki: Coor = ()
+    kd: Coor = ()
+
+    @property
+    def ndir(self) -> int:
+        return self.blocks.shape[len(self.dim_i)]
+
+    # -- pytree protocol: array leaves + hashable metadata, so operators
+    # can be passed straight through jit / shard_map boundaries ----------
+    def tree_flatten(self):
+        children = (self.blocks, self.jj_flat, self.kron)
+        aux = (self.oim, self.odm, self.lat_i, self.lat_d, self.blk_i,
+               self.blk_d, self.dim_i, self.dim_d, self.bi, self.bd,
+               self.mode, self.offsets, self.row_counts, self.kron_i,
+               self.kron_d, self.ki, self.kd)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        blocks, jj_flat, kron = children
+        (oim, odm, lat_i, lat_d, blk_i, blk_d, dim_i, dim_d, bi, bd,
+         mode, offsets, row_counts, kron_i, kron_d, ki, kd) = aux
+        return cls(
+            oim=oim, odm=odm, lat_i=lat_i, lat_d=lat_d, blk_i=blk_i,
+            blk_d=blk_d, dim_i=dim_i, dim_d=dim_d, bi=bi, bd=bd, mode=mode,
+            blocks=blocks, offsets=offsets, jj_flat=jj_flat,
+            row_counts=row_counts, kron=kron, kron_i=kron_i, kron_d=kron_d,
+            ki=ki, kd=kd,
+        )
+
+    def flops_per_matvec(self, ncols: int, complex_dtype: bool = True) -> int:
+        """FLOP model (reference keeps one per backend, bsr.h:329-372)."""
+        mul = 8 if complex_dtype else 2
+        voli = volume(self.dim_i)
+        BI = volume(self.bi)
+        BD = volume(self.bd)
+        f = mul * voli * self.ndir * BI * BD * ncols
+        if self.kron is not None:
+            KI = volume(self.ki)
+            KD = volume(self.kd)
+            # stage 1 contracts color for each kd; stage 2 applies the
+            # kron factor
+            f = mul * voli * self.ndir * ncols * (BI * BD * KD + KI * KD * BI)
+        return f
+
+    def memops_per_matvec(self, ncols: int, itemsize: int) -> int:
+        voli, vold = volume(self.dim_i), volume(self.dim_d)
+        BI, BD = volume(self.bi), volume(self.bd)
+        KI = volume(self.ki) if self.kron is not None else 1
+        KD = volume(self.kd) if self.kron is not None else 1
+        blocks_bytes = self.blocks.size * itemsize
+        x_bytes = vold * BD * KD * ncols * itemsize
+        y_bytes = voli * BI * KI * ncols * itemsize
+        return blocks_bytes + x_bytes + y_bytes
+
+
+def _split_labels(o: str, block: Sequence[int]) -> Tuple[str, str, Coor]:
+    """Split full labels into (lattice labels, block labels) given the
+    reference-style block extent vector (1 for lattice dims)."""
+    lat = "".join(c for c, b in zip(o, block) if b == 1)
+    blk = "".join(c for c, b in zip(o, block) if b > 1)
+    bdim = tuple(b for b in block if b > 1)
+    return lat, blk, bdim
+
+
+def bsr_from_stencil(
+    oim: str,
+    odm: str,
+    dim_lat: Sequence[int],
+    block_i: dict,
+    block_d: dict,
+    offsets: Sequence[Coor],
+    blocks: jax.Array,
+    kron: Optional[jax.Array] = None,
+    kron_i: Optional[dict] = None,
+    kron_d: Optional[dict] = None,
+) -> BSROperator:
+    """Direct TPU-native constructor for a regular stencil operator.
+
+    ``blocks``: [*lat, ndir, BI, BD] (flattened block dims).
+    ``offsets``: per-direction lattice offsets (domain site = image site +
+    offset, toroidal).
+    """
+    blocks = cplx.asarray(blocks)
+    if kron is not None:
+        kron = cplx.asarray(kron)
+    lat_i = "".join(c for c in oim if c not in block_i and c not in (kron_i or {}))
+    lat_d = "".join(c for c in odm if c not in block_d and c not in (kron_d or {}))
+    blk_i = "".join(c for c in oim if c in block_i)
+    blk_d = "".join(c for c in odm if c in block_d)
+    kron_i_s = "".join(c for c in oim if c in (kron_i or {}))
+    kron_d_s = "".join(c for c in odm if c in (kron_d or {}))
+    return BSROperator(
+        oim=oim, odm=odm, lat_i=lat_i, lat_d=lat_d,
+        blk_i=blk_i, blk_d=blk_d,
+        dim_i=tuple(dim_lat), dim_d=tuple(dim_lat),
+        bi=tuple(block_i[c] for c in blk_i),
+        bd=tuple(block_d[c] for c in blk_d),
+        mode="stencil",
+        blocks=blocks,
+        offsets=tuple(tuple(int(v) for v in o) for o in offsets),
+        kron=kron,
+        kron_i=kron_i_s,
+        kron_d=kron_d_s,
+        ki=tuple(kron_i[c] for c in kron_i_s) if kron_i else (),
+        kd=tuple(kron_d[c] for c in kron_d_s) if kron_d else (),
+    )
+
+
+def create_bsr(
+    oim: str,
+    dim_im: Sequence[int],
+    odm: str,
+    dim_dm: Sequence[int],
+    block_im: Sequence[int],
+    block_dm: Sequence[int],
+    ii: np.ndarray,
+    jj: np.ndarray,
+    values: jax.Array,
+    block_image_fast: bool = False,
+) -> BSROperator:
+    """Reference-parity constructor (create_bsr, bsr.h:2287-2320).
+
+    * ``oim``/``dim_im``: image labels and extents (block dims included);
+      ``block_im`` gives the block extent per label (1 on lattice dims).
+    * ``ii``: [*lat_i] per-row nonzero counts (host numpy).
+    * ``jj``: [*lat_i, max_nnz, nlat] absolute domain lattice coordinates
+      of each nonzero block (host numpy; the reference uses
+      component-relative coordinates, bsr.h:2277-2284 — global arrays have
+      no components, so coordinates here are global).
+    * ``values``: [*lat_i, max_nnz, BI, BD] blocks ([..., BD, BI] when
+      ``block_image_fast``, mirroring the reference's blockImFast flag).
+
+    Detects the uniform-stencil structure (same offsets for every row)
+    and lowers to the roll-based fast path; otherwise keeps a gather plan.
+    """
+    check_order(oim)
+    check_order(odm)
+    lat_i, blk_i, bi = _split_labels(oim, block_im)
+    lat_d, blk_d, bd = _split_labels(odm, block_dm)
+    dim_i = tuple(d for d, b in zip(dim_im, block_im) if b == 1)
+    dim_d = tuple(d for d, b in zip(dim_dm, block_dm) if b == 1)
+    nlat = len(dim_i)
+
+    ii = np.asarray(ii).reshape(dim_i)
+    jj = np.asarray(jj).reshape(dim_i + (-1, nlat))
+    max_nnz = jj.shape[-2]
+    values = cplx.asarray(values)
+    if block_image_fast:
+        values = (cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), values)
+                  if cplx.is_carray(values) else jnp.swapaxes(values, -1, -2))
+    values = _reshape(values, dim_i + (max_nnz, volume(bi), volume(bd)))
+
+    uniform = bool((ii == ii.reshape(-1)[0]).all()) and int(ii.reshape(-1)[0]) == max_nnz
+    offsets = None
+    if uniform and dim_i == dim_d:
+        # offsets[k] = (jj[site, k] - site) mod dim, constant across sites?
+        site_coords = np.stack(
+            np.meshgrid(*[np.arange(d) for d in dim_i], indexing="ij"), axis=-1
+        )  # [*lat, nlat]
+        rel = (jj - site_coords[..., None, :]) % np.asarray(dim_i)
+        first = rel.reshape(-1, max_nnz, nlat)[0]
+        if (rel == first).all():
+            offsets = [tuple(int(v) for v in first[k]) for k in range(max_nnz)]
+
+    common = dict(
+        oim=oim, odm=odm, lat_i=lat_i, lat_d=lat_d, blk_i=blk_i, blk_d=blk_d,
+        dim_i=dim_i, dim_d=dim_d, bi=bi, bd=bd,
+    )
+    if offsets is not None:
+        return BSROperator(mode="stencil", blocks=values,
+                           offsets=tuple(offsets), **common)
+
+    # gather fallback: flatten domain lattice coordinates to flat indices
+    strides = np.ones(nlat, dtype=np.int64)
+    for i in range(nlat - 2, -1, -1):
+        strides[i] = strides[i + 1] * dim_d[i + 1]
+    jj_flat = (jj % np.asarray(dim_d) * strides).sum(-1).reshape(-1, max_nnz)
+    nnz_mask = (
+        np.arange(max_nnz)[None, :] < ii.reshape(-1)[:, None]
+    )
+    # zero out padded blocks so the gather-matvec can ignore the mask
+    mask_arr = jnp.asarray(
+        nnz_mask.reshape(dim_i + (max_nnz, 1, 1)).astype(bool)
+    )
+    if cplx.is_carray(values):
+        values = cplx.cmap(lambda v: jnp.where(mask_arr, v, 0), values)
+    else:
+        values = jnp.where(mask_arr, values, 0)
+    return BSROperator(
+        mode="gather", blocks=values,
+        jj_flat=jnp.asarray(jj_flat),
+        row_counts=tuple(int(v) for v in ii.reshape(-1)), **common,
+    )
+
+
+def create_kron_bsr(
+    oim: str,
+    dim_im: Sequence[int],
+    odm: str,
+    dim_dm: Sequence[int],
+    block_im: Sequence[int],
+    block_dm: Sequence[int],
+    kron_im: Sequence[int],
+    kron_dm: Sequence[int],
+    ii: np.ndarray,
+    jj: np.ndarray,
+    values: jax.Array,
+    kron_values: jax.Array,
+    block_image_fast: bool = False,
+) -> BSROperator:
+    """Kronecker-factored BSR (create_kron_bsr, bsr.h:2302-2336): each
+    nonzero block is kron(spin factor, color block); spin factors depend
+    only on the direction, color blocks on (site, direction).
+
+    ``kron_im``/``kron_dm``: per-label kron-block extents (1 elsewhere).
+    ``kron_values``: [ndir, KI, KD] ([ndir, KD, KI] if block_image_fast).
+    """
+    # build the non-kron part first (block labels exclude kron labels)
+    base = create_bsr(
+        "".join(c for c, k in zip(oim, kron_im) if k == 1),
+        [d for d, k in zip(dim_im, kron_im) if k == 1],
+        "".join(c for c, k in zip(odm, kron_dm) if k == 1),
+        [d for d, k in zip(dim_dm, kron_dm) if k == 1],
+        [b for b, k in zip(block_im, kron_im) if k == 1],
+        [b for b, k in zip(block_dm, kron_dm) if k == 1],
+        ii, jj, values, block_image_fast,
+    )
+    kron_i = "".join(c for c, k in zip(oim, kron_im) if k > 1)
+    kron_d = "".join(c for c, k in zip(odm, kron_dm) if k > 1)
+    ki = tuple(k for k in kron_im if k > 1)
+    kd = tuple(k for k in kron_dm if k > 1)
+    kron_values = kron_values.reshape((-1, volume(ki), volume(kd))
+                                      if not block_image_fast
+                                      else (-1, volume(kd), volume(ki)))
+    if block_image_fast:
+        kron_values = jnp.swapaxes(kron_values, -1, -2)
+    if base.mode != "stencil":
+        raise NotImplementedError(
+            "kron BSR requires a uniform stencil structure"
+        )
+    return BSROperator(
+        oim=oim, odm=odm, lat_i=base.lat_i, lat_d=base.lat_d,
+        blk_i=base.blk_i, blk_d=base.blk_d,
+        dim_i=base.dim_i, dim_d=base.dim_d, bi=base.bi, bd=base.bd,
+        mode="stencil", blocks=base.blocks, offsets=base.offsets,
+        kron=kron_values, kron_i=kron_i, kron_d=kron_d, ki=ki, kd=kd,
+    )
+
+
+def bsr_get_preferred_layout(op: BSROperator) -> Tuple[str, str]:
+    """Preferred x and y orderings (bsr_get_preferred_layout,
+    bsr.h:2395): lattice labels outermost, then kron block labels, then
+    block labels, then columns innermost is canonical here ('n' stands for
+    the column labels the caller appends)."""
+    ox = op.lat_d + op.kron_d + op.blk_d + "n"
+    oy = op.lat_i + op.kron_i + op.blk_i + "n"
+    return ox, oy
+
+
+def _roll_lat(x, offset, nlat):
+    """Toroidal shift of the leading nlat lattice axes by -offset (bring
+    the neighbor at +offset to each site).  Compiles to slice+concat and,
+    over sharded axes, neighbor collective-permutes."""
+    if cplx.is_carray(x):
+        return cplx.cmap(lambda v: _roll_lat(v, offset, nlat), x)
+    for ax, off in enumerate(offset):
+        if off % x.shape[ax] != 0:
+            x = jnp.roll(x, -off, axis=ax)
+    return x
+
+
+def _apply_stencil(op: BSROperator, xc: jax.Array) -> jax.Array:
+    """Core stencil matvec on canonical operands.
+
+    xc: [*lat_d, KD, BD, N] (KD axis present only in kron mode).
+    returns [*lat_i, KI, BI, N].
+    """
+    nlat = len(op.dim_d)
+    ndir = op.ndir
+    if op.kron is None:
+        # y[..., i, n] = sum_k blocks[..., k, i, j] xs_k[..., j, n]
+        # Stack shifted operands on a new contraction-adjacent axis and do
+        # ONE batched GEMM with K = ndir*BD: bigger MXU tiles than ndir
+        # separate small GEMMs (reference loops directions, bsr.h:535-655).
+        xs = _stack(
+            [_roll_lat(xc, off, nlat) for off in op.offsets], axis=nlat
+        )  # [*lat, ndir, BD, N]
+        # [*lat, ndir, BI, BD] x [*lat, ndir, BD, N] -> sum over (ndir, BD)
+        y = cplx.cdot_general(
+            op.blocks, xs,
+            dimension_numbers=(
+                ((nlat, nlat + 2), (nlat, nlat + 1)),
+                (tuple(range(nlat)), tuple(range(nlat))),
+            ),
+            preferred_element_type=_acc_dtype(op.blocks.dtype),
+        )  # [*lat, BI, N]
+        return y.astype(xc.dtype)
+
+    # kron mode: xc [*lat, KD, BD, N]
+    ys = None
+    for k, off in enumerate(op.offsets):
+        xs = _roll_lat(xc, off, nlat)                      # [*lat, KD, BD, N]
+        blk = _idx(op.blocks, (slice(None),) * nlat + (k,))  # [*lat, BI, BD]
+        # color contraction: [*lat, BI, BD] x [*lat, KD, BD, N]
+        t = cplx.cdot_general(
+            blk, xs,
+            dimension_numbers=(
+                ((nlat + 1,), (nlat + 1,)),
+                (tuple(range(nlat)), tuple(range(nlat))),
+            ),
+            preferred_element_type=_acc_dtype(op.blocks.dtype),
+        ).astype(xc.dtype)  # [*lat, BI, KD, N]
+        # spin factor: kron[k] [KI, KD] applied on the KD axis
+        yk = cplx.cbilinear(
+            lambda kk, tt: jnp.einsum("ab,...ibn->...ian", kk, tt),
+            _idx(op.kron, k), t,
+        )
+        ys = yk if ys is None else cplx.add(ys, yk)        # [*lat, BI, KI, N]
+    # reorder to [*lat, KI, BI, N]
+    if cplx.is_carray(ys):
+        return cplx.cmap(lambda v: jnp.swapaxes(v, nlat, nlat + 1), ys)
+    return jnp.swapaxes(ys, nlat, nlat + 1)
+
+
+def _apply_gather(op: BSROperator, xc: jax.Array) -> jax.Array:
+    """General BSR matvec via gather (irregular neighbor lists).  xc:
+    [*lat_d, BD, N] -> [*lat_i, BI, N]."""
+    nlat = len(op.dim_d)
+    BD, N = xc.shape[-2], xc.shape[-1]
+    xf = _reshape(xc, (-1, BD, N))
+    xg = _idx(xf, op.jj_flat)                 # [voli, nnz, BD, N]
+    a = _reshape(op.blocks, (-1,) + op.blocks.shape[nlat:])  # [voli, nnz, BI, BD]
+    y = cplx.cdot_general(
+        a, xg,
+        dimension_numbers=(((1, 3), (1, 2)), ((0,), (0,))),
+        preferred_element_type=_acc_dtype(a.dtype),
+    )  # [voli, BI, N]
+    return _reshape(y, op.dim_i + (y.shape[-2], N)).astype(xc.dtype)
+
+
+def _acc_dtype(dt):
+    if dt in (jnp.bfloat16.dtype, jnp.float16.dtype):
+        return jnp.float32
+    if dt == jnp.complex64.dtype:
+        return jnp.complex64
+    return dt
+
+
+def bsr_krylov(
+    alpha,
+    op: BSROperator,
+    x: jax.Array,
+    ox: str,
+    beta=0.0,
+    y: Optional[jax.Array] = None,
+    oy: Optional[str] = None,
+    okr: Optional[str] = None,
+    power: int = 1,
+) -> jax.Array:
+    """Apply the operator: y = alpha * A x + beta * y (bsr_krylov,
+    bsr.h:2353-2517).
+
+    ``ox`` must contain the domain lattice labels, the (kron+) domain
+    block labels, and any extra column labels.  ``oy`` likewise for the
+    image side; when ``okr`` is given, ``oy`` additionally contains the
+    power label and the result holds y_p = alpha * A^{p+1} x for p in
+    [0, power) — the reference's communication-avoiding operator powers
+    (bsr.h:2140-2247).
+    """
+    check_order(ox)
+    # Complex-in/complex-out convenience: internally the engine always
+    # runs split (the TPU has no complex datapath); merge back on return
+    # when the caller handed us a complex array.
+    user_complex = (not cplx.is_carray(x)) and jnp.iscomplexobj(x)
+    if user_complex:
+        x = cplx.from_complex(x)
+        if y is not None and not cplx.is_carray(y):
+            y = cplx.from_complex(y)
+    cols = "".join(c for c in ox
+                   if c not in op.lat_d + op.kron_d + op.blk_d)
+    if oy is None:
+        oy = op.lat_i + op.kron_i + op.blk_i + cols + (okr or "")
+    check_order(oy)
+    if okr is not None:
+        if okr not in oy:
+            raise ValueError(f"power label {okr!r} not in oy={oy!r}")
+        if y is not None:
+            power = y.shape[oy.index(okr)]
+    oy_data = "".join(c for c in oy if c != okr)
+
+    # canonicalize x: [*lat_d, KD?, BD, N]
+    canon_x = op.lat_d + op.kron_d + op.blk_d + cols
+    xc = local_permute(x, ox, canon_x)
+    nlat = len(op.dim_d)
+    lat_shape = xc.shape[:nlat]
+    KD = volume(op.kd) if op.kron is not None else 1
+    BD = volume(op.bd)
+    Ncols = volume(xc.shape[nlat + len(op.kron_d) + len(op.blk_d):])
+    if op.kron is not None:
+        xc = _reshape(xc, lat_shape + (KD, BD, Ncols))
+    else:
+        xc = _reshape(xc, lat_shape + (BD, Ncols))
+
+    apply_fn = _apply_stencil if op.mode == "stencil" else _apply_gather
+
+    if power > 1 and (volume(op.bi) != volume(op.bd) or op.dim_i != op.dim_d
+                      or (op.kron is not None and volume(op.ki) != volume(op.kd))):
+        raise ValueError(
+            "operator powers require a square operator (image and domain "
+            "structure must match, as in the reference okr path)"
+        )
+    outs = []
+    cur = xc
+    for _ in range(power):
+        cur = apply_fn(op, cur)  # [*lat_i, KI?, BI, N]
+        outs.append(cur)
+
+    def to_user(yc):
+        # yc [*lat_i, KI?, BI, N] -> user oy_data order
+        ki_shape = tuple(op.ki) if op.kron is not None else ()
+        shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
+            x.shape[ox.index(c)] for c in cols
+        )
+        canon_y = op.lat_i + op.kron_i + op.blk_i + cols
+        return local_permute(_reshape(yc, shape), canon_y, oy_data)
+
+    from .ops.copy import _is_static
+
+    def scale(t):
+        return t if (_is_static(alpha) and alpha == 1) else cplx.scale(alpha, t)
+
+    if okr is None:
+        out = scale(to_user(outs[0]))
+        if y is not None and not (_is_static(beta) and beta == 0):
+            out = cplx.add(out, cplx.scale(beta, y))
+        elif y is not None:
+            out = out.astype(y.dtype)
+        return cplx.to_complex(out) if user_complex else out
+
+    stacked = _stack([scale(to_user(o)) for o in outs],
+                     axis=oy.index(okr))
+    if y is not None and not (_is_static(beta) and beta == 0):
+        stacked = cplx.add(stacked, cplx.scale(beta, y))
+    return cplx.to_complex(stacked) if user_complex else stacked

@@ -1,0 +1,230 @@
+"""Wilson-Dirac lattice operator: the flagship workload.
+
+The reference library exists to serve lattice-QCD codes (Chroma/PRIMME);
+its canonical benchmark is the Dirac-like nearest-neighbor BSR operator
+with spin (x) color blocks (tests/bsr.cpp:104-152 builds exactly this
+shape).  Here we construct a physically-structured Wilson operator
+
+    D x (s) = (m + 4 r) x(s)
+              - 1/2 sum_mu [ (r - gamma_mu) (x) U_mu(s)      x(s + mu)
+                           + (r + gamma_mu) (x) U_mu(s-mu)^H x(s - mu) ]
+
+as a Kronecker-factored BSR operator (spin factors shared across sites,
+per-site SU(3)-like color links) — the exact structure
+``create_kron_bsr`` (bsr.h:2302-2336) exists for — and provide a CG
+solver whose iteration is the "training step" analog: one halo-exchanged
+stencil matvec plus psum-reduced inner products.
+
+Complex data is carried split (cplx.CArray): the TPU has no complex
+datapath, so links/gammas are generated host-side in numpy and stored as
+(re, im) pairs; every contraction runs as 3 real MXU GEMMs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cplx
+from ..bsr import BSROperator, bsr_from_stencil, bsr_krylov
+
+NS = 4  # spin components
+NC = 3  # colors
+
+
+def gamma_matrices() -> np.ndarray:
+    """Euclidean gamma matrices (DeGrand-Rossi basis), numpy [4, 4, 4]."""
+    g = np.zeros((4, NS, NS), dtype=np.complex128)
+    g[0] = [[0, 0, 0, 1j], [0, 0, 1j, 0], [0, -1j, 0, 0], [-1j, 0, 0, 0]]
+    g[1] = [[0, 0, 0, -1], [0, 0, 1, 0], [0, 1, 0, 0], [-1, 0, 0, 0]]
+    g[2] = [[0, 0, 1j, 0], [0, 0, 0, -1j], [-1j, 0, 0, 0], [0, 1j, 0, 0]]
+    g[3] = [[0, 0, 1, 0], [0, 0, 0, 1], [1, 0, 0, 0], [0, 1, 0, 0]]
+    return g
+
+
+def random_su3_links(rng: np.random.Generator, lat_dims) -> np.ndarray:
+    """Random unitary gauge links U[mu, *lat, 3, 3] (host-side QR of a
+    Gaussian; U(3) rather than SU(3), fine for benchmarks)."""
+    shape = (len(lat_dims),) + tuple(lat_dims) + (NC, NC)
+    a = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    q, r = np.linalg.qr(a)
+    d = np.einsum("...ii->...i", r)
+    q = q * (d / np.abs(d)).conj()[..., None, :]
+    return q
+
+
+def wilson_operator(
+    lat_dims: Tuple[int, ...],
+    mass: float = 0.1,
+    r: float = 1.0,
+    key=None,
+    dtype=jnp.complex64,
+    links: Optional[np.ndarray] = None,
+) -> BSROperator:
+    """Build the Wilson operator as a split-complex Kron-BSR stencil.
+
+    Labels: lattice "xyzt"[:nd], spin "S" (kron factor), color "c"/"C".
+    ``dtype`` picks precision: complex64 -> float32 parts, complex128 ->
+    float64 parts.
+    """
+    nd = len(lat_dims)
+    if key is None:
+        seed = 0
+    elif hasattr(key, "dtype"):
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    else:
+        seed = int(key)
+    rng = np.random.default_rng(seed)
+    if links is None:
+        links = random_su3_links(rng, lat_dims)  # [mu, *lat, c, c] complex128
+    g = gamma_matrices()
+    eye_s = np.eye(NS, dtype=np.complex128)
+    eye_c = np.broadcast_to(np.eye(NC, dtype=np.complex128),
+                            tuple(lat_dims) + (NC, NC))
+
+    offsets = [(0,) * nd]
+    spin_factors = [(mass + r * nd) * eye_s]
+    color_blocks = [eye_c]
+    for mu in range(nd):
+        fwd = [0] * nd
+        fwd[mu] = 1
+        offsets.append(tuple(fwd))
+        spin_factors.append(-0.5 * (r * eye_s - g[mu]))
+        color_blocks.append(links[mu])
+        bwd = [0] * nd
+        bwd[mu] = -1
+        offsets.append(tuple(bwd))
+        spin_factors.append(-0.5 * (r * eye_s + g[mu]))
+        # U_mu(s - mu)^H : shift the link field then conjugate-transpose
+        shifted = np.roll(links[mu], 1, axis=mu)
+        color_blocks.append(np.swapaxes(shifted, -1, -2).conj())
+
+    part_dt = np.float32 if dtype == jnp.complex64 else np.float64
+    blocks = np.stack(color_blocks, axis=nd).astype(np.complex128)
+    kron = np.stack(spin_factors, axis=0)
+    lat_labels = "xyzt"[:nd]
+    return bsr_from_stencil(
+        lat_labels + "Sc", lat_labels + "SC",
+        lat_dims, {"c": NC}, {"C": NC},
+        offsets,
+        cplx.CArray(jnp.asarray(blocks.real.astype(part_dt)),
+                    jnp.asarray(blocks.imag.astype(part_dt))),
+        kron=cplx.CArray(jnp.asarray(kron.real.astype(part_dt)),
+                         jnp.asarray(kron.imag.astype(part_dt))),
+        kron_i={"S": NS}, kron_d={"S": NS},
+    )
+
+
+def apply_wilson(op: BSROperator, x) -> Union[jax.Array, cplx.CArray]:
+    """y = D x with x shaped [*lat, NS, NC, ncols] (CArray or complex)."""
+    nd = len(op.dim_d)
+    ox = "xyzt"[:nd] + "SCn"
+    return bsr_krylov(1.0, op, x, ox)
+
+
+def adjoint_operator(op: BSROperator) -> BSROperator:
+    """The conjugate-transposed stencil operator: direction k's adjoint
+    has offset -o_k and block A_k(s - o_k)^H."""
+    nd = len(op.dim_d)
+    ndir = op.ndir
+
+    def _adj_blocks(blocks):
+        blocks_h = cplx.conj(
+            cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), blocks)
+            if cplx.is_carray(blocks) else jnp.swapaxes(blocks, -1, -2)
+        )
+        shifted = []
+        for k in range(ndir):
+            idx = (slice(None),) * nd + (k,)
+            blk = (cplx.cmap(lambda v: v[idx], blocks_h)
+                   if cplx.is_carray(blocks_h) else blocks_h[idx])
+            for ax, off in enumerate(op.offsets[k]):
+                if off % op.dim_i[ax] != 0:
+                    roll = lambda v, o=off, a=ax: jnp.roll(v, o, axis=a)
+                    blk = cplx.cmap(roll, blk) if cplx.is_carray(blk) else roll(blk)
+            shifted.append(blk)
+        if cplx.is_carray(shifted[0]):
+            return cplx.CArray(
+                jnp.stack([b.re for b in shifted], axis=nd),
+                jnp.stack([b.im for b in shifted], axis=nd),
+            )
+        return jnp.stack(shifted, axis=nd)
+
+    kron_adj = None
+    if op.kron is not None:
+        kron_adj = cplx.conj(
+            cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), op.kron)
+            if cplx.is_carray(op.kron) else jnp.swapaxes(op.kron, -1, -2)
+        )
+    return BSROperator(
+        **{**op.__dict__,
+           "blocks": _adj_blocks(op.blocks),
+           "kron": kron_adj,
+           "offsets": tuple(tuple(-o for o in off) for off in op.offsets)},
+    )
+
+
+def apply_wilson_dagger(op: BSROperator, x):
+    """y = D^H x."""
+    return apply_wilson(adjoint_operator(op), x)
+
+
+def _inner(a, b):
+    """Re <a, b> = sum(a.re*b.re + a.im*b.im) — psum-reduced when sharded."""
+    if cplx.is_carray(a):
+        return cplx.inner_real(a, b)
+    return jnp.sum(jnp.conj(a) * b).real
+
+
+def _zeros_like(x):
+    return cplx.cmap(jnp.zeros_like, x) if cplx.is_carray(x) else jnp.zeros_like(x)
+
+
+def _axpy(alpha, x, y):
+    """y + alpha * x for real traced alpha."""
+    if cplx.is_carray(x):
+        return cplx.add(y, cplx.CArray(alpha * x.re, alpha * x.im))
+    return y + alpha.astype(x.dtype) * x
+
+
+def cg_step(op: BSROperator, state):
+    """One CG-on-normal-equations iteration (the 'training step' for the
+    multi-chip dry run): stencil matvec (halo collective-permutes when
+    sharded) + axpys + psum inner products."""
+    x, rr, p, rs = state
+    op_h = adjoint_operator(op)
+    ap = apply_wilson(op_h, apply_wilson(op, p))
+    alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
+    x = _axpy(alpha, p, x)
+    rr = _axpy(-alpha, ap, rr)
+    rs_new = _inner(rr, rr)
+    beta = rs_new / jnp.maximum(rs, 1e-30)
+    if cplx.is_carray(rr):
+        p = cplx.add(rr, cplx.CArray(beta * p.re, beta * p.im))
+    else:
+        p = rr + beta.astype(rr.dtype) * p
+    return (x, rr, p, rs_new)
+
+
+def cg_solve(
+    op: BSROperator,
+    b,
+    n_iters: int = 10,
+    tol: float = 0.0,
+):
+    """Conjugate gradient on the normal equations D^H D x = D^H b.
+
+    The iteration body is one jit-compiled lax.fori_loop — the per-step
+    workload the reference benches in tests/bsr_hist.cpp.
+    """
+    rhs = apply_wilson_dagger(op, b)
+    state = (_zeros_like(b), rhs, rhs, _inner(rhs, rhs))
+
+    def body(_, s):
+        return cg_step(op, s)
+
+    x, rr, p, rs = jax.lax.fori_loop(0, n_iters, body, state)
+    return x, rs

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..labels import ContractionPlan
 from .copy import _is_static, local_permute
 
@@ -57,6 +58,10 @@ def local_contraction(
 
     ``r`` may be None when beta == 0; then ``dimr``/``dtype`` give the output
     spec (defaulting to the deduced extents and the promoted input dtype).
+
+    Operands may be split-complex ``cplx.CArray``s (the TPU-native complex
+    representation); the contraction then runs as 3 real dot_generals
+    (Gauss trick) instead of the 4 XLA's own complex lowering uses.
     """
     if r is not None:
         dimr = tuple(r.shape)
@@ -72,12 +77,12 @@ def local_contraction(
 
     plan = ContractionPlan(o0, tuple(x0.shape), o1, tuple(x1.shape), o_r, dimr)
 
-    if conj0 and jnp.iscomplexobj(x0):
-        x0 = jnp.conj(x0)
-    if conj1 and jnp.iscomplexobj(x1):
-        x1 = jnp.conj(x1)
+    if conj0 and (cplx.is_carray(x0) or jnp.iscomplexobj(x0)):
+        x0 = cplx.conj(x0)
+    if conj1 and (cplx.is_carray(x1) or jnp.iscomplexobj(x1)):
+        x1 = cplx.conj(x1)
 
-    out = jax.lax.dot_general(
+    out = cplx.cdot_general(
         x0,
         x1,
         dimension_numbers=plan.dot_general_dims(),
@@ -87,11 +92,11 @@ def local_contraction(
     out = local_permute(out, plan.dot_general_out_order(), o_r)
 
     if not (_is_static(alpha) and alpha == 1):
-        out = out * alpha
+        out = cplx.scale(alpha, out)
     out = out.astype(dtype)
     if r is not None and not (_is_static(beta) and beta == 0):
         if _is_static(beta) and beta == 1:
-            out = out + r
+            out = cplx.add(out, r)
         else:
-            out = out + beta * r
+            out = cplx.add(out, cplx.scale(beta, r))
     return out

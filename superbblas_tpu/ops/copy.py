@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import cplx
 from ..labels import (
     check_isomorphic,
     check_order,
@@ -122,6 +123,21 @@ def local_copy(
     check_order(o1)
     if copy_add not in ("copy", "add"):
         raise ValueError(f"copy_add must be 'copy' or 'add', got {copy_add!r}")
+
+    if cplx.is_carray(x) or cplx.is_carray(y):
+        # Split-complex path: run the structural copy per part, mixing
+        # parts only for a complex alpha.
+        xc = x if cplx.is_carray(x) else cplx.CArray(x, jnp.zeros_like(x))
+        yc = y if cplx.is_carray(y) else cplx.CArray(y, jnp.zeros_like(y))
+        ar, ai = cplx._split_scalar(alpha)
+        xs = cplx.scale(alpha, xc) if ai is not None else xc
+        a_eff = 1 if ai is not None else alpha
+        return cplx.CArray(
+            local_copy(a_eff, xs.re, o0, yc.re, o1, from0, size0, from1,
+                       copy_add, mask0, mask1),
+            local_copy(a_eff, xs.im, o0, yc.im, o1, from0, size0, from1,
+                       copy_add, mask0, mask1),
+        )
     dim0 = tuple(x.shape)
     dim1 = tuple(y.shape)
     if len(dim0) != len(o0):
@@ -249,11 +265,15 @@ def _masked_copy(alpha, x, o0, y, o1, from0, size0, from1, size1, copy_add,
     return yf.reshape(y.shape)
 
 
-def local_permute(x: jax.Array, o0: str, o1: str, dtype=None) -> jax.Array:
-    """Return ``x`` with axes reordered from label order o0 to o1."""
+def local_permute(x, o0: str, o1: str, dtype=None):
+    """Return ``x`` with axes reordered from label order o0 to o1.
+    Accepts plain arrays or split-complex cplx.CArray."""
     check_order(o0)
     check_order(o1)
-    out = _permute_to(x, o0, o1)
+    if cplx.is_carray(x):
+        out = cplx.cmap(lambda v: _permute_to(v, o0, o1), x)
+    else:
+        out = _permute_to(x, o0, o1)
     if dtype is not None:
         out = out.astype(dtype)
     return out

@@ -1,0 +1,226 @@
+"""BSR operator tests (reference analog: tests/bsr.cpp).
+
+Strategy mirrors the reference: (1) all-ones fast check — with unit blocks
+and x=1, every y element equals ndir * BD (tests/bsr.cpp:296-302); (2) a
+dense-matrix numpy oracle; (3) kron-factored vs materialized equivalence;
+(4) operator powers; (5) sharded-lattice execution.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from superbblas_tpu import bsr as B
+from superbblas_tpu import parallel as par
+
+
+def stencil_offsets(dim):
+    """Self + one-hop neighbors in each direction with extent > 1 (the
+    reference's max_neighbors construction, tests/bsr.cpp:104-152)."""
+    offs = [tuple(0 for _ in dim)]
+    for ax, d in enumerate(dim):
+        if d == 1:
+            continue
+        for sgn in (1, -1):
+            off = [0] * len(dim)
+            off[ax] = sgn
+            offs.append(tuple(off))
+            if d <= 2:
+                break
+    return offs
+
+
+def make_stencil_op(dim, BI, BD, dtype=np.float64, seed=0, ones=False,
+                    kron=None):
+    offs = stencil_offsets(dim)
+    rng = np.random.default_rng(seed)
+    shape = tuple(dim) + (len(offs), BI, BD)
+    vals = np.ones(shape, dtype) if ones else rng.standard_normal(shape).astype(dtype)
+    lat = "XY"[: len(dim)]
+    op = B.bsr_from_stencil(
+        lat + "s", lat + "s",
+        dim, {"s": BI}, {"s": BD},
+        offs, jnp.asarray(vals), kron=kron,
+    )
+    return op, vals, offs
+
+
+def dense_oracle(dim, offs, vals, x):
+    """y[site, i, n] = sum_k vals[site, k] @ x[site+off_k, :, n]."""
+    y = np.zeros(tuple(dim) + (vals.shape[-2], x.shape[-1]), dtype=x.dtype)
+    for site in itertools.product(*[range(d) for d in dim]):
+        for k, off in enumerate(offs):
+            nb = tuple((s + o) % d for s, o, d in zip(site, off, dim))
+            y[site] += vals[site][k] @ x[nb]
+    return y
+
+
+def test_fast_check_all_ones():
+    """x = 1, blocks = 1 -> every y element = ndir * BD."""
+    dim = (4, 4)
+    op, vals, offs = make_stencil_op(dim, 3, 3, ones=True)
+    x = jnp.ones(dim + (3, 2))
+    y = B.bsr_krylov(1.0, op, x, "XYsn")
+    np.testing.assert_allclose(np.asarray(y), len(offs) * 3)
+
+
+def test_stencil_matvec_matches_dense_oracle():
+    dim = (4, 3)
+    op, vals, offs = make_stencil_op(dim, 2, 3, seed=1)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(dim + (3, 5))
+    y = B.bsr_krylov(1.0, op, jnp.asarray(x), "XYsn")
+    want = dense_oracle(dim, offs, vals, x)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-12)
+
+
+def test_alpha_beta():
+    dim = (4, 4)
+    op, vals, offs = make_stencil_op(dim, 2, 2, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(dim + (2, 3))
+    y0 = rng.standard_normal(dim + (2, 3))
+    got = B.bsr_krylov(2.0, op, jnp.asarray(x), "XYsn",
+                       beta=-0.5, y=jnp.asarray(y0), oy="XYsn")
+    want = 2.0 * dense_oracle(dim, offs, vals, x) - 0.5 * y0
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_label_permutation_roundtrip():
+    """x given in a permuted order; y requested in a permuted order."""
+    dim = (4, 3)
+    op, vals, offs = make_stencil_op(dim, 2, 2, seed=5)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(dim + (2, 5))   # X Y s n
+    xp = np.transpose(x, (3, 0, 2, 1))       # n X s Y
+    got = B.bsr_krylov(1.0, op, jnp.asarray(xp), "nXsY", oy="YnsX")
+    want = dense_oracle(dim, offs, vals, x)  # X Y i n
+    want = np.transpose(want, (1, 3, 2, 0))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_create_bsr_detects_stencil():
+    """Reference-style ii/jj/values constructor lowers to the stencil path."""
+    dim = (4, 4)
+    offs = stencil_offsets(dim)
+    nnz = len(offs)
+    sites = list(itertools.product(*[range(d) for d in dim]))
+    jj = np.zeros(dim + (nnz, 2), dtype=np.int64)
+    for s in sites:
+        for k, off in enumerate(offs):
+            jj[s][k] = [(s[0] + off[0]) % dim[0], (s[1] + off[1]) % dim[1]]
+    ii = np.full(dim, nnz)
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(dim + (nnz, 2, 2))
+    op = B.create_bsr("XYs", (4, 4, 2), "XYc", (4, 4, 2),
+                      (1, 1, 2), (1, 1, 2), ii, jj, jnp.asarray(vals))
+    assert op.mode == "stencil"
+    x = rng.standard_normal(dim + (2, 3))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "XYcn")
+    want = dense_oracle(dim, list(op.offsets), vals, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_create_bsr_gather_fallback():
+    """Irregular neighbor lists (per-row varying) use the gather path."""
+    dim = (4,)
+    maxnnz = 2
+    ii = np.array([2, 1, 2, 1])
+    jj = np.zeros((4, maxnnz, 1), dtype=np.int64)
+    jj[0, :, 0] = [0, 1]
+    jj[1, :, 0] = [1, 0]      # second entry padded (ii=1)
+    jj[2, :, 0] = [2, 3]
+    jj[3, :, 0] = [3, 0]      # padded
+    rng = np.random.default_rng(8)
+    vals = rng.standard_normal((4, maxnnz, 2, 2))
+    op = B.create_bsr("Xs", (4, 2), "Xc", (4, 2),
+                      (1, 2), (1, 2), ii, jj, jnp.asarray(vals))
+    assert op.mode == "gather"
+    x = rng.standard_normal((4, 2, 3))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "Xcn")
+    want = np.zeros((4, 2, 3))
+    for s in range(4):
+        for k in range(int(ii[s])):
+            want[s] += vals[s, k] @ x[jj[s, k, 0]]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_kron_bsr_matches_materialized():
+    """Kron operator equals the plain BSR with blocks kron(spin, color)."""
+    dim = (4, 4)
+    offs = stencil_offsets(dim)
+    ndir = len(offs)
+    KI = KD = 2   # spin
+    CI = CD = 3   # color
+    rng = np.random.default_rng(9)
+    color = rng.standard_normal(dim + (ndir, CI, CD))
+    spin = rng.standard_normal((ndir, KI, KD))
+
+    kron_op = B.bsr_from_stencil(
+        "XYSc", "XYSc", dim, {"c": CI}, {"c": CD}, offs,
+        jnp.asarray(color), kron=jnp.asarray(spin),
+        kron_i={"S": KI}, kron_d={"S": KD},
+    )
+    # materialized: block[si*CI+ci, sd*CD+cd] = spin[si,sd]*color[ci,cd]
+    mats = np.einsum("kab,...kcd->...kacbd", spin, color).reshape(
+        dim + (ndir, KI * CI, KD * CD)
+    )
+    plain_op = B.bsr_from_stencil(
+        "XYz", "XYz", dim, {"z": KI * CI}, {"z": KD * CD}, offs,
+        jnp.asarray(mats),
+    )
+    x = rng.standard_normal(dim + (KD, CD, 5))
+    got = B.bsr_krylov(1.0, kron_op, jnp.asarray(x), "XYScn")
+    xf = x.reshape(dim + (KD * CD, 5))
+    want = B.bsr_krylov(1.0, plain_op, jnp.asarray(xf), "XYzn")
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want).shape),
+        np.asarray(want), rtol=1e-12,
+    )
+
+
+def test_operator_powers():
+    """okr label: y_p = alpha * A^{p+1} x (bsr.h:2140-2247 semantics)."""
+    dim = (4,)
+    op, vals, offs = make_stencil_op(dim, 2, 2, seed=10)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, 2, 3))
+    got = B.bsr_krylov(2.0, op, jnp.asarray(x), "Xsn", oy="Xsnp", okr="p",
+                       power=3)
+    cur = x
+    for p in range(3):
+        cur = dense_oracle(dim, offs, vals, cur)
+        np.testing.assert_allclose(np.asarray(got)[..., p], 2.0 * cur,
+                                   rtol=1e-10, err_msg=f"power {p}")
+
+
+def test_sharded_lattice_matvec():
+    """Lattice axes sharded over the 8-device mesh: rolls become
+    collective permutes; result must match the dense oracle exactly."""
+    dim = (8, 8)
+    op, vals, offs = make_stencil_op(dim, 2, 2, seed=12)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(dim + (2, 3))
+    mesh = par.make_mesh({"X": 4, "Y": 2})
+    sx = NamedSharding(mesh, P("X", "Y", None, None))
+    xd = jax.device_put(jnp.asarray(x), sx)
+    op_sharded = B.BSROperator(
+        **{**op.__dict__,
+           "blocks": jax.device_put(
+               op.blocks, NamedSharding(mesh, P("X", "Y", None, None, None)))},
+    )
+    fn = jax.jit(lambda xx: B.bsr_krylov(1.0, op_sharded, xx, "XYsn"))
+    got = fn(xd)
+    want = dense_oracle(dim, offs, vals, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_preferred_layout():
+    op, _, _ = make_stencil_op((4, 4), 2, 2)
+    ox, oy = B.bsr_get_preferred_layout(op)
+    assert ox.startswith("XY")
+    assert "n" in ox and "n" in oy

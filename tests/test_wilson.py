@@ -1,0 +1,119 @@
+"""Wilson-Dirac flagship model tests (split-complex engine)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from superbblas_tpu import cplx
+from superbblas_tpu import parallel as par
+from superbblas_tpu.models import (
+    apply_wilson,
+    apply_wilson_dagger,
+    cg_solve,
+    cg_step,
+    gamma_matrices,
+    wilson_operator,
+)
+
+LAT = (4, 4, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def op():
+    return wilson_operator(LAT, mass=0.5, key=7, dtype=jnp.complex128)
+
+
+def rand_x(seed, ncols=2):
+    rng = np.random.default_rng(seed)
+    shape = LAT + (4, 3, ncols)
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+
+
+def test_gamma_algebra():
+    g = gamma_matrices()
+    for mu in range(4):
+        np.testing.assert_allclose(g[mu], g[mu].conj().T, atol=1e-14)
+        for nu in range(4):
+            anti = g[mu] @ g[nu] + g[nu] @ g[mu]
+            want = 2.0 * np.eye(4) * (1 if mu == nu else 0)
+            np.testing.assert_allclose(anti, want, atol=1e-14)
+
+
+def test_wilson_free_field_constant_mode():
+    """With unit links (free field), the constant spinor is an eigenvector
+    with eigenvalue = mass (hopping cancels: -1/2[(r-g)+(r+g)] = -r per
+    direction, central m+4r, 4 directions -> m)."""
+    op = wilson_operator(LAT, mass=0.3, key=0, dtype=jnp.complex128)
+    eye_c = np.broadcast_to(np.eye(3), LAT + (3, 3))
+    unit = np.stack([eye_c] * op.ndir, axis=len(LAT))
+    op_free = type(op)(**{
+        **op.__dict__,
+        "blocks": cplx.CArray(jnp.asarray(unit), jnp.zeros(unit.shape)),
+    })
+    x = np.ones(LAT + (4, 3, 1), dtype=np.complex128)
+    y = apply_wilson(op_free, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), 0.3 * x, atol=1e-12)
+
+
+def test_complex_in_complex_out(op):
+    x = jnp.asarray(rand_x(1))
+    y = apply_wilson(op, x)
+    assert jnp.iscomplexobj(y)
+    assert y.shape == x.shape
+
+
+def test_split_matches_complex_path(op):
+    """CArray input path gives the same numbers as complex input path."""
+    x = rand_x(2)
+    y_complex = np.asarray(apply_wilson(op, jnp.asarray(x)))
+    y_split = apply_wilson(op, cplx.from_complex(x))
+    assert cplx.is_carray(y_split)
+    np.testing.assert_allclose(
+        np.asarray(y_split.re) + 1j * np.asarray(y_split.im),
+        y_complex, rtol=1e-10)
+
+
+def test_dagger_is_adjoint(op):
+    x = jnp.asarray(rand_x(1))
+    y = jnp.asarray(rand_x(2))
+    lhs = jnp.vdot(y, apply_wilson(op, x))
+    rhs = jnp.vdot(apply_wilson_dagger(op, y), x)
+    np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-10)
+
+
+def test_cg_reduces_residual(op):
+    b = cplx.from_complex(rand_x(3, ncols=1))
+    x, rs = cg_solve(op, b, n_iters=25)
+    res = apply_wilson_dagger(op, apply_wilson(op, x)) - \
+        apply_wilson_dagger(op, b)
+    num = float(jnp.sqrt(cplx.inner_real(res, res)))
+    rhs = apply_wilson_dagger(op, b)
+    den = float(jnp.sqrt(cplx.inner_real(rhs, rhs)))
+    assert num / den < 1e-3, num / den
+
+
+def test_cg_step_jits_with_op_as_pytree(op):
+    b = cplx.from_complex(rand_x(4, ncols=1))
+    rhs = apply_wilson_dagger(op, b)
+    from superbblas_tpu.models.wilson import _inner, _zeros_like
+    state = (_zeros_like(b), rhs, rhs, _inner(rhs, rhs))
+    step = jax.jit(cg_step)
+    s1 = step(op, state)
+    s2 = step(op, s1)
+    assert float(s2[3]) < float(state[3])
+
+
+def test_sharded_wilson_matches_single_device(op):
+    mesh = par.make_mesh({"x": 2, "y": 2, "n": 2})
+    x = rand_x(5, ncols=2)
+    want = np.asarray(apply_wilson(op, jnp.asarray(x)))
+    spec = P("x", "y", None, None, None, None, "n")
+    xd = jax.device_put(cplx.from_complex(x), NamedSharding(mesh, spec))
+    blocks_d = jax.device_put(
+        op.blocks, NamedSharding(mesh, P("x", "y", None, None, None, None)))
+    op_d = type(op)(**{**op.__dict__, "blocks": blocks_d})
+    got = jax.jit(apply_wilson)(op_d, xd)
+    np.testing.assert_allclose(
+        np.asarray(got.re) + 1j * np.asarray(got.im), want, rtol=1e-10)
