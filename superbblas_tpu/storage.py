@@ -1,0 +1,459 @@
+"""S3T ("simple, sparse, streamed tensor") storage: checkpoint I/O.
+
+Bit-compatible implementation of the reference's S3T format
+(``include/superbblas/storage.h:19-58`` in eromero-vlc/superbblas):
+
+    magic(i32)=314, version(i32)=0, values_datatype(i32),
+    checksum_level(i32), dimensions(i32), metadata_size(i32),
+    metadata(char*), zero padding to 8 bytes,
+    size(double*dims, SlowToFast), checksum_blocksize(double),
+    num_chunks(double),
+    chunks: { num_blocks(double), {from,size}(double*dims each) per block,
+              values(dtype), [block checksums(double each)] }
+    [global checksum(double)]
+
+Checksums are zlib CRC32 (the reference vendors Mark Adler's table,
+crc32.h); data longer than ``checksum_blocksize`` is checksummed in
+pieces and the CRC of the little-endian uint32 piece-CRCs is reported
+(storage.h:698-730).  With checksum level 1 the trailing double holds the
+CRC of the whole preceding file; with level 2 it covers the header and
+block coordinate metadata only (num_chunks, values and per-block
+checksums excluded) and each block's values get their own CRC
+(storage.h:1465-1522).
+
+The reference writes through POSIX/MPI-IO with a GridHash spatial index
+(storage.h:552-684); here the index is a host-side box list searched with
+the label-layer's toroidal intersections, and device arrays are staged
+through numpy.  Files are little-endian; big-endian files are detected by
+the magic number and byte-swapped on read (storage.h:737-749).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cplx
+from .labels import (
+    check_order,
+    find_permutation,
+    intersect_box,
+    reorder_coor,
+    volume,
+)
+
+__all__ = [
+    "Storage",
+    "create_storage",
+    "open_storage",
+    "append_blocks",
+    "save",
+    "load",
+    "check_or_write_checksums",
+    "close_storage",
+]
+
+MAGIC = 314
+VERSION = 0
+DEFAULT_CHECKSUM_BLOCKSIZE = 64 * 1024 * 1024
+
+_DTYPES = {
+    0: np.dtype(np.float32),
+    1: np.dtype(np.float64),
+    2: np.dtype(np.complex64),
+    3: np.dtype(np.complex128),
+    4: np.dtype(np.int8),
+    5: np.dtype(np.int32),
+}
+_DTYPE_CODES = {v: k for k, v in _DTYPES.items()}
+
+
+def _crc(data: bytes, prev: int = 0) -> int:
+    return zlib.crc32(data, prev) & 0xFFFFFFFF
+
+
+def _blocked_crc(data: bytes, blocksize: int) -> int:
+    """storage.h:698-730: CRC pieces of `blocksize` bytes; if more than
+    one piece, CRC of the uint32-LE piece-CRC array."""
+    if blocksize <= 0 or len(data) <= blocksize:
+        return _crc(data)
+    n = (len(data) + blocksize - 1) // blocksize
+    piece = np.empty(n, dtype="<u4")
+    for i in range(n):
+        piece[i] = _crc(data[i * blocksize:(i + 1) * blocksize])
+    return _crc(piece.tobytes())
+
+
+@dataclass
+class _Block:
+    frm: Tuple[int, ...]
+    size: Tuple[int, ...]
+    values_offset: int       # absolute file offset of this block's values
+    checksum_offset: int = -1  # absolute offset of this block's crc double
+
+
+@dataclass
+class Storage:
+    """Open S3T handle (the reference's ``Storage_handle``,
+    storage.h:1432-1560)."""
+
+    path: str
+    mode: str                 # "r" or "r+"
+    order: Optional[str] = None   # label order fixed at creation (not in
+                                  # the file format; reference passes labels
+                                  # per call, storage.h:2261/2291)
+    dtype: np.dtype = np.dtype(np.float64)
+    checksum_level: int = 0
+    dim: Tuple[int, ...] = ()
+    metadata: str = ""
+    checksum_blocksize: int = DEFAULT_CHECKSUM_BLOCKSIZE
+    byteswap: bool = False
+    blocks: List[_Block] = field(default_factory=list)
+    header_crc: int = 0       # running crc of header+block metadata (lvl 2)
+    num_chunks: int = 0
+    _file: Optional[object] = None
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dim)
+
+    def _open(self):
+        if self._file is None or self._file.closed:
+            self._file = open(self.path, "rb" if self.mode == "r" else "r+b")
+        return self._file
+
+
+def _pad_len(metadata_size: int) -> int:
+    return (8 - metadata_size % 8) % 8
+
+
+def create_storage(
+    path: str,
+    o: str,
+    dim,
+    dtype=np.float64,
+    metadata: str = "",
+    checksum: int = 0,
+) -> Storage:
+    """Create a new S3T file (public create_storage, storage.h:2143).
+
+    ``dim`` is given in the order of labels ``o`` and stored SlowToFast
+    (first label slowest), matching the reference's SlowToFast convention.
+    """
+    check_order(o)
+    dim = tuple(int(d) for d in dim)
+    dt = np.dtype(dtype)
+    if dt not in _DTYPE_CODES:
+        raise ValueError(f"unsupported dtype {dt}")
+    meta_b = metadata.encode()
+    pad = _pad_len(len(meta_b))
+
+    hdr = struct.pack("<6i", MAGIC, VERSION, _DTYPE_CODES[dt], checksum,
+                      len(dim), len(meta_b))
+    hdr += meta_b + b"\x00" * pad
+    hdr += np.asarray(dim, dtype="<f8").tobytes()
+    hdr += struct.pack("<d", float(DEFAULT_CHECKSUM_BLOCKSIZE))
+    num_chunks_off = len(hdr)
+    hdr += struct.pack("<d", 0.0)   # num_chunks, updated on append
+
+    with open(path, "wb") as f:
+        f.write(hdr)
+
+    sto = Storage(
+        path=path, mode="r+", order=o, dtype=dt, checksum_level=checksum,
+        dim=dim, metadata=metadata,
+        checksum_blocksize=DEFAULT_CHECKSUM_BLOCKSIZE,
+    )
+    # level-2 header crc excludes num_chunks (storage.h:1465-1507)
+    sto.header_crc = _crc(hdr[:num_chunks_off])
+    sto._num_chunks_off = num_chunks_off
+    return sto
+
+
+def open_storage(path: str, mode: str = "r+") -> Storage:
+    """Open an existing S3T file, reading the block index
+    (public open_storage, storage.h:2143-2200)."""
+    with open(path, "rb") as f:
+        raw = f.read(24)
+        magic = struct.unpack("<i", raw[:4])[0]
+        swap = False
+        if magic != MAGIC:
+            magic_be = struct.unpack(">i", raw[:4])[0]
+            if magic_be != MAGIC:
+                raise ValueError(f"{path}: not an S3T file")
+            swap = True
+        fmt = ">6i" if swap else "<6i"
+        _, version, dtcode, checksum, ndim, meta_size = struct.unpack(fmt, raw)
+        if version != VERSION:
+            raise ValueError(f"unsupported S3T version {version}")
+        metadata = f.read(meta_size).decode()
+        f.read(_pad_len(meta_size))
+        dfmt = ">f8" if swap else "<f8"
+        dim = tuple(int(v) for v in np.frombuffer(f.read(8 * ndim), dtype=dfmt))
+        cbs = int(np.frombuffer(f.read(8), dtype=dfmt)[0])
+        num_chunks_off = f.tell()
+        num_chunks = int(np.frombuffer(f.read(8), dtype=dfmt)[0])
+
+        sto = Storage(
+            path=path, mode=mode, dtype=_DTYPES[dtcode],
+            checksum_level=checksum, dim=dim, metadata=metadata,
+            checksum_blocksize=cbs, byteswap=swap, num_chunks=num_chunks,
+        )
+        sto._num_chunks_off = num_chunks_off
+
+        # walk chunks to build the block index
+        itemsize = sto.dtype.itemsize
+        for _ in range(num_chunks):
+            nblocks = int(np.frombuffer(f.read(8), dtype=dfmt)[0])
+            coords = np.frombuffer(f.read(8 * 2 * ndim * nblocks), dtype=dfmt)
+            coords = coords.reshape(nblocks, 2, ndim).astype(np.int64)
+            voff = f.tell()
+            offsets = []
+            for b in range(nblocks):
+                offsets.append(voff)
+                voff += int(np.prod(coords[b, 1])) * itemsize
+            f.seek(voff)
+            coffs = [-1] * nblocks
+            if checksum == 2:
+                for b in range(nblocks):
+                    coffs[b] = f.tell()
+                    f.read(8)
+            for b in range(nblocks):
+                sto.blocks.append(_Block(
+                    frm=tuple(coords[b, 0]), size=tuple(coords[b, 1]),
+                    values_offset=offsets[b], checksum_offset=coffs[b],
+                ))
+    return sto
+
+
+def append_blocks(sto: Storage, boxes) -> None:
+    """Declare new blocks as one chunk, reserving zeroed value space
+    (public append_blocks, storage.h:2204-2259).  ``boxes`` is a list of
+    (from, size) in the storage's label order."""
+    if sto.mode == "r":
+        raise ValueError("storage opened read-only")
+    boxes = [(tuple(int(v) for v in f), tuple(int(v) for v in s))
+             for f, s in boxes]
+    f = sto._open()
+    f.seek(0, os.SEEK_END)
+    chunk_meta = struct.pack("<d", float(len(boxes)))
+    for frm, size in boxes:
+        chunk_meta += np.asarray(frm, dtype="<f8").tobytes()
+        chunk_meta += np.asarray(size, dtype="<f8").tobytes()
+    f.write(chunk_meta)
+    sto.header_crc = _crc(chunk_meta, sto.header_crc)
+
+    itemsize = sto.dtype.itemsize
+    new_blocks = []
+    for frm, size in boxes:
+        off = f.tell()
+        nbytes = volume(size) * itemsize
+        f.write(b"\x00" * nbytes)
+        new_blocks.append(_Block(frm=frm, size=size, values_offset=off))
+    if sto.checksum_level == 2:
+        zero_crc_pos = f.tell()
+        for i, blk in enumerate(new_blocks):
+            blk.checksum_offset = zero_crc_pos + 8 * i
+            nbytes = volume(blk.size) * itemsize
+            crc = _blocked_crc(b"\x00" * nbytes, sto.checksum_blocksize)
+            f.write(struct.pack("<d", float(crc)))
+    sto.blocks.extend(new_blocks)
+
+    sto.num_chunks += 1
+    f.seek(sto._num_chunks_off)
+    f.write(struct.pack("<d", float(sto.num_chunks)))
+    f.flush()
+
+
+def _to_numpy(x) -> np.ndarray:
+    if cplx.is_carray(x):
+        return np.asarray(cplx.to_complex(
+            cplx.CArray(jax.device_get(x.re), jax.device_get(x.im))))
+    return np.asarray(jax.device_get(x)) if isinstance(x, jax.Array) else np.asarray(x)
+
+
+def _read_block(sto: Storage, blk: _Block) -> np.ndarray:
+    f = sto._open()
+    f.seek(blk.values_offset)
+    n = volume(blk.size)
+    dt = sto.dtype.newbyteorder(">") if sto.byteswap else sto.dtype.newbyteorder("<")
+    arr = np.frombuffer(f.read(n * sto.dtype.itemsize), dtype=dt)
+    return arr.astype(sto.dtype).reshape(blk.size)
+
+
+def _write_block(sto: Storage, blk: _Block, data: np.ndarray) -> None:
+    f = sto._open()
+    f.seek(blk.values_offset)
+    raw = np.ascontiguousarray(data.astype(sto.dtype.newbyteorder("<")))
+    f.write(raw.tobytes())
+    if sto.checksum_level == 2 and blk.checksum_offset >= 0:
+        crc = _blocked_crc(raw.tobytes(), sto.checksum_blocksize)
+        f.seek(blk.checksum_offset)
+        f.write(struct.pack("<d", float(crc)))
+    f.flush()
+
+
+def save(alpha, x, o0: str, sto: Storage, o1: str,
+         from0=None, size0=None, from1=None) -> None:
+    """Write alpha * x[from0:from0+size0] into the file tensor at from1
+    (public save, storage.h:2261 -> 1200).  Every overlap with a declared
+    block is updated; regions outside all blocks are an error, as in the
+    reference (the file is sparse: only declared blocks exist)."""
+    check_order(o0)
+    check_order(o1)
+    arr = _to_numpy(x)
+    if not (isinstance(alpha, (int, float, complex)) and alpha == 1):
+        arr = arr * alpha
+    dim0 = arr.shape
+    from0 = tuple(from0) if from0 is not None else (0,) * len(o0)
+    size0 = tuple(size0) if size0 is not None else dim0
+    from1 = tuple(from1) if from1 is not None else (0,) * len(o1)
+    perm01 = find_permutation(o0, o1)
+    size1 = reorder_coor(size0, perm01, blank=1)
+
+    # source box, permuted into file label order
+    src = _extract_box_np(arr, from0, size0)
+    src = _permute_np(src, o0, o1)
+
+    covered = 0
+    for blk in sto.blocks:
+        for ifrom, isize in intersect_box(from1, size1, blk.frm, blk.size,
+                                          sto.dim):
+            if volume(isize) == 0:
+                continue
+            covered += volume(isize)
+            data = _read_block(sto, blk)
+            # offsets of the intersection inside the source box and block
+            src_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, from1, sto.dim))
+            blk_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, blk.frm, sto.dim))
+            sl_src = tuple(slice(o, o + s) for o, s in zip(src_off, isize))
+            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+            data[sl_blk] = src[sl_src]
+            _write_block(sto, blk, data)
+    if covered < volume(size1):
+        raise ValueError(
+            "save: part of the requested region is not covered by any "
+            "declared block (use append_blocks first)")
+
+
+def load(alpha, sto: Storage, x, o1: str, o0: Optional[str] = None,
+         from0=None, size0=None, from1=None, copy_add: str = "copy"):
+    """Read the file region (from0, size0) and copy/add it into ``x`` at
+    from1 (public load, storage.h:2291 -> 1326).  Returns the updated
+    array.  Uncovered parts of the request are left untouched."""
+    check_order(o1)
+    o0 = o0 or sto.order or o1
+    arr = _to_numpy(x).copy()
+    from0 = tuple(from0) if from0 is not None else (0,) * sto.ndim
+    size0 = tuple(size0) if size0 is not None else sto.dim
+    from1 = tuple(from1) if from1 is not None else (0,) * len(o1)
+    perm01 = find_permutation(o0, o1)
+    size1 = reorder_coor(size0, perm01, blank=1)
+
+    # assemble the requested file region (in file order), then permute
+    region = np.zeros(size0, dtype=sto.dtype)
+    for blk in sto.blocks:
+        for ifrom, isize in intersect_box(from0, size0, blk.frm, blk.size,
+                                          sto.dim):
+            if volume(isize) == 0:
+                continue
+            data = _read_block(sto, blk)
+            req_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, from0, sto.dim))
+            blk_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, blk.frm, sto.dim))
+            sl_req = tuple(slice(o, o + s) for o, s in zip(req_off, isize))
+            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+            region[sl_req] = data[sl_blk]
+
+    region = _permute_np(region, o0, o1)
+    if alpha != 1:
+        region = region * alpha
+    sl_dst = tuple(slice(f, f + s) for f, s in zip(from1, size1))
+    if copy_add == "copy":
+        arr[sl_dst] = region
+    else:
+        arr[sl_dst] = arr[sl_dst] + region
+    if cplx.is_carray(x):
+        return cplx.from_complex(arr)
+    if isinstance(x, jax.Array):
+        return jnp.asarray(arr.astype(x.dtype))
+    return arr
+
+
+def _extract_box_np(arr, frm, size):
+    for ax, (f, s, d) in enumerate(zip(frm, size, arr.shape)):
+        if f + s > d:
+            arr = np.take(arr, np.arange(f, f + s) % d, axis=ax)
+        else:
+            arr = arr[(slice(None),) * ax + (slice(f, f + s),)]
+    return arr
+
+
+def _permute_np(arr, o0, o1):
+    keep = [i for i, c in enumerate(o0) if c in o1]
+    arr = arr.reshape([arr.shape[i] for i in keep]) if len(keep) != len(o0) \
+        else arr
+    o0k = "".join(o0[i] for i in keep)
+    order_in_o1 = [c for c in o1 if c in o0k]
+    arr = np.transpose(arr, [o0k.index(c) for c in order_in_o1])
+    if len(order_in_o1) != len(o1):
+        shape = []
+        k = 0
+        for c in o1:
+            if c in o0k:
+                shape.append(arr.shape[k])
+                k += 1
+            else:
+                shape.append(1)
+        arr = arr.reshape(shape)
+    return arr
+
+
+def check_or_write_checksums(sto: Storage) -> None:
+    """Verify (read-only) or write the trailing global checksum
+    (storage.h:1964-2125)."""
+    if sto.checksum_level == 0:
+        return
+    f = sto._open()
+    if sto.checksum_level == 1:
+        f.seek(0, os.SEEK_END)
+        end = f.tell()
+        f.seek(0)
+        body = f.read(end)
+        # A previously written trailer is excluded from the crc
+        if sto.mode != "r" and not getattr(sto, "_has_trailer", False):
+            crc = _blocked_crc(body, sto.checksum_blocksize)
+            f.seek(0, os.SEEK_END)
+            f.write(struct.pack("<d", float(crc)))
+            sto._has_trailer = True
+        else:
+            crc = _blocked_crc(body[:-8], sto.checksum_blocksize)
+            stored = int(struct.unpack("<d", body[-8:])[0])
+            if stored != crc:
+                raise ValueError(f"{sto.path}: global checksum mismatch")
+    else:  # level 2
+        for blk in sto.blocks:
+            data = _read_block(sto, blk)
+            raw = np.ascontiguousarray(
+                data.astype(sto.dtype.newbyteorder("<"))).tobytes()
+            crc = _blocked_crc(raw, sto.checksum_blocksize)
+            f.seek(blk.checksum_offset)
+            stored = int(struct.unpack("<d", f.read(8))[0])
+            if stored != crc:
+                raise ValueError(
+                    f"{sto.path}: block checksum mismatch at {blk.frm}")
+
+
+def close_storage(sto: Storage) -> None:
+    if sto._file is not None and not sto._file.closed:
+        sto._file.close()

@@ -1,0 +1,145 @@
+"""S3T storage tests (reference analogs: tests/storage.cpp round-trips with
+all checksum levels and tests/storage_details.cpp byte-level checks)."""
+
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superbblas_tpu import cplx, storage as S
+
+
+def test_header_bytes(tmp_path):
+    """Byte-level header layout (storage_details.cpp analog)."""
+    p = str(tmp_path / "t.s3t")
+    S.create_storage(p, "xy", (4, 6), dtype=np.float64, metadata="hello",
+                     checksum=0)
+    raw = open(p, "rb").read()
+    magic, version, dt, cs, nd, ms = struct.unpack("<6i", raw[:24])
+    assert (magic, version, dt, cs, nd, ms) == (314, 0, 1, 0, 2, 5)
+    assert raw[24:29] == b"hello"
+    assert raw[29:32] == b"\x00\x00\x00"       # pad to 8
+    dims = np.frombuffer(raw[32:48], dtype="<f8")
+    np.testing.assert_array_equal(dims, [4.0, 6.0])
+    cbs, nchunks = np.frombuffer(raw[48:64], dtype="<f8")
+    assert cbs == 64 * 1024 * 1024
+    assert nchunks == 0.0
+
+
+@pytest.mark.parametrize("checksum", [0, 1, 2])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex128])
+def test_save_load_roundtrip(tmp_path, checksum, dtype):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 6)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(dim).astype(dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        x = x + 1j * rng.standard_normal(dim).astype(dtype)
+
+    sto = S.create_storage(p, "xy", dim, dtype=dtype, checksum=checksum)
+    S.append_blocks(sto, [((0, 0), (4, 3)), ((0, 3), (4, 3))])
+    S.save(1.0, jnp.asarray(x), "xy", sto, "xy")
+    S.check_or_write_checksums(sto)
+    S.close_storage(sto)
+
+    sto2 = S.open_storage(p, mode="r")
+    assert sto2.dim == dim
+    assert len(sto2.blocks) == 2
+    y = S.load(1.0, sto2, np.zeros(dim, dtype=dtype), "xy")
+    np.testing.assert_allclose(np.asarray(y), x, rtol=1e-6)
+    if checksum == 2:
+        S.check_or_write_checksums(sto2)
+    S.close_storage(sto2)
+
+
+def test_partial_load_with_permutation(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 6)
+    x = np.arange(24, dtype=np.float64).reshape(dim)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+    S.append_blocks(sto, [((0, 0), dim)])
+    S.save(1.0, jnp.asarray(x), "xy", sto, "xy")
+
+    # load a sub-box transposed into a differently-labeled tensor
+    y = S.load(2.0, sto, np.zeros((6, 4)), "yx",
+               from0=(1, 2), size0=(2, 3), from1=(0, 0))
+    want = np.zeros((6, 4))
+    want[0:3, 0:2] = 2.0 * x[1:3, 2:5].T
+    np.testing.assert_allclose(np.asarray(y), want)
+    S.close_storage(sto)
+
+
+def test_partial_save_into_block(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 4)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+    S.append_blocks(sto, [((0, 0), dim)])
+    x = np.ones((2, 2))
+    S.save(3.0, jnp.asarray(x), "xy", sto, "xy", from1=(1, 1))
+    y = S.load(1.0, sto, np.zeros(dim), "xy")
+    want = np.zeros(dim)
+    want[1:3, 1:3] = 3.0
+    np.testing.assert_allclose(np.asarray(y), want)
+    S.close_storage(sto)
+
+
+def test_save_outside_blocks_raises(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    sto = S.create_storage(p, "xy", (4, 4), dtype=np.float64)
+    S.append_blocks(sto, [((0, 0), (2, 4))])
+    with pytest.raises(ValueError, match="not covered"):
+        S.save(1.0, jnp.ones((4, 4)), "xy", sto, "xy")
+    S.close_storage(sto)
+
+
+def test_checksum_detects_corruption(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 4)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64, checksum=2)
+    S.append_blocks(sto, [((0, 0), dim)])
+    S.save(1.0, jnp.ones(dim), "xy", sto, "xy")
+    S.check_or_write_checksums(sto)
+    off = sto.blocks[0].values_offset
+    S.close_storage(sto)
+    with open(p, "r+b") as f:
+        f.seek(off)
+        f.write(struct.pack("<d", 99.0))
+    sto2 = S.open_storage(p, mode="r")
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        S.check_or_write_checksums(sto2)
+    S.close_storage(sto2)
+
+
+def test_global_checksum_roundtrip(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 4)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64, checksum=1)
+    S.append_blocks(sto, [((0, 0), dim)])
+    S.save(1.0, jnp.ones(dim), "xy", sto, "xy")
+    S.check_or_write_checksums(sto)
+    S.close_storage(sto)
+    sto2 = S.open_storage(p, mode="r")
+    sto2._has_trailer = True
+    S.check_or_write_checksums(sto2)   # verifies, raises on mismatch
+    S.close_storage(sto2)
+
+
+def test_carray_save_load(tmp_path):
+    p = str(tmp_path / "t.s3t")
+    dim = (4, 4)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+    sto = S.create_storage(p, "xy", dim, dtype=np.complex128)
+    S.append_blocks(sto, [((0, 0), dim)])
+    S.save(1.0, cplx.from_complex(x), "xy", sto, "xy")
+    y = S.load(1.0, sto, cplx.from_complex(np.zeros(dim, np.complex128)), "xy")
+    assert cplx.is_carray(y)
+    np.testing.assert_allclose(np.asarray(y.re) + 1j * np.asarray(y.im), x)
+    S.close_storage(sto)
+
+
+def test_crc_is_zlib_compatible():
+    data = b"superbblas-tpu"
+    assert S._crc(data) == zlib.crc32(data) & 0xFFFFFFFF
