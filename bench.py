@@ -89,27 +89,33 @@ def bench_contraction():
     return flops / dt / 1e9, dt
 
 
-def bench_bsr(lat=(16, 16, 16, 16), ncols=16):
+def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
+    """Wilson matvec in the SoA/Pallas hot path (ops/stencil_pallas.py)."""
     import jax
     import jax.numpy as jnp
 
+    from superbblas_tpu import cplx
     from superbblas_tpu.models import apply_wilson, wilson_operator
 
-    op = wilson_operator(lat, mass=0.1, key=jax.random.PRNGKey(0),
-                         dtype=jnp.complex64)
-    x = jax.random.normal(jax.random.PRNGKey(1), lat + (4, 3, ncols),
-                          dtype=jnp.float32).astype(jnp.complex64)
+    op = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex64,
+                         layout="soa")
+    k = jax.random.PRNGKey(1)
+    shape = (ncols, 12) + lat
+    x = cplx.CArray(
+        jax.random.normal(k, shape, jnp.float32),
+        jax.random.normal(jax.random.fold_in(k, 9), shape, jnp.float32),
+    )
 
     def make_fn(n):
         def chained(xv):
             def body(c, _):
                 return apply_wilson(op, c), ()
             c, _ = jax.lax.scan(body, xv, None, length=n)
-            return jnp.sum(jnp.abs(c))
+            return jnp.sum(jnp.abs(c.re))
         jitted = jax.jit(chained)
         return lambda: jitted(x)
 
-    dt = time_chained(make_fn, n1=5, n2=25)
+    dt = time_chained(make_fn, n1=3, n2=12)
     flops = op.flops_per_matvec(ncols, complex_dtype=True)
     memops = op.memops_per_matvec(ncols, itemsize=8)
     return flops / dt / 1e9, memops / dt / 1e9, dt

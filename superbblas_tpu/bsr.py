@@ -89,8 +89,12 @@ class BSROperator:
     mode "stencil": ``blocks`` has shape [*lat_i, ndir, BI, BD] and
     ``offsets[k]`` is the lattice offset of direction k (domain - image).
     mode "gather": ``blocks`` has shape [*lat_i, nnz, BI, BD], ``jj_flat``
-    holds flat domain-site indices [voli, nnz], and ``nnz_mask`` masks
-    per-row padding.
+    holds flat domain-site indices [voli, nnz], and ``row_counts`` records
+    per-row valid counts.
+    mode "stencil_soa": structure-of-arrays hot layout — ``blocks`` is a
+    split-complex CArray [ndir, BI*BD, *lat] and the matvec runs in the
+    Pallas stencil kernel (ops/stencil_pallas.py); operands are SoA
+    [ncols, KD*BD, *lat] CArrays.
     """
 
     oim: str
@@ -187,16 +191,39 @@ def bsr_from_stencil(
     kron: Optional[jax.Array] = None,
     kron_i: Optional[dict] = None,
     kron_d: Optional[dict] = None,
+    layout: str = "aos",
 ) -> BSROperator:
     """Direct TPU-native constructor for a regular stencil operator.
 
     ``blocks``: [*lat, ndir, BI, BD] (flattened block dims).
     ``offsets``: per-direction lattice offsets (domain site = image site +
     offset, toroidal).
+    ``layout``: "aos" (label-order axes, general) or "soa" (lattice-minor
+    hot layout; the matvec runs in the Pallas stencil kernel — requires a
+    4D lattice with one-hot +-1 offsets, T % 128 == 0, Z % 8 == 0).
     """
     blocks = cplx.asarray(blocks)
     if kron is not None:
         kron = cplx.asarray(kron)
+    if layout == "soa":
+        from .ops.stencil_pallas import soa_eligible
+
+        nlat = len(dim_lat)
+        bi_v = volume(block_i.values())
+        bd_v = volume(block_d.values())
+        ki_v = volume((kron_i or {"_": 1}).values())
+        kd_v = volume((kron_d or {"_": 1}).values())
+        if not soa_eligible(offsets, dim_lat, bi_v, bd_v, ki_v, kd_v):
+            raise ValueError("stencil not eligible for the SoA/Pallas layout")
+        if not cplx.is_carray(blocks):
+            blocks = cplx.CArray(blocks, jnp.zeros_like(blocks))
+        # [*lat, ndir, BI, BD] -> [ndir, BI*BD, *lat]
+        blocks = cplx.cmap(
+            lambda a: jnp.transpose(
+                a, (nlat, nlat + 1, nlat + 2) + tuple(range(nlat))
+            ).reshape((a.shape[nlat], bi_v * bd_v) + tuple(dim_lat)),
+            blocks,
+        )
     lat_i = "".join(c for c in oim if c not in block_i and c not in (kron_i or {}))
     lat_d = "".join(c for c in odm if c not in block_d and c not in (kron_d or {}))
     blk_i = "".join(c for c in oim if c in block_i)
@@ -209,7 +236,7 @@ def bsr_from_stencil(
         dim_i=tuple(dim_lat), dim_d=tuple(dim_lat),
         bi=tuple(block_i[c] for c in blk_i),
         bd=tuple(block_d[c] for c in blk_d),
-        mode="stencil",
+        mode="stencil_soa" if layout == "soa" else "stencil",
         blocks=blocks,
         offsets=tuple(tuple(int(v) for v in o) for o in offsets),
         kron=kron,
@@ -452,6 +479,34 @@ def _apply_gather(op: BSROperator, xc: jax.Array) -> jax.Array:
     return _reshape(y, op.dim_i + (y.shape[-2], N)).astype(xc.dtype)
 
 
+def apply_stencil_soa(op: BSROperator, x_soa: cplx.CArray,
+                      interpret: Optional[bool] = None) -> cplx.CArray:
+    """Hot path: SoA stencil matvec through the Pallas kernel.
+
+    ``x_soa``: CArray [ncols, KD*BD, *lat]; returns [ncols, KI*BI, *lat].
+    Falls back to the pure-XLA SoA reference on CPU backends (the kernel
+    itself runs under interpret there only in tests — too slow for real
+    use)."""
+    from . import flags
+    from .ops.stencil_pallas import (
+        stencil_matvec_soa,
+        stencil_matvec_soa_reference,
+    )
+
+    if op.mode != "stencil_soa":
+        raise ValueError("operator was not built with layout='soa'")
+    bi_v, bd_v = volume(op.bi), volume(op.bd)
+    use_pallas = flags.get_use_pallas() and \
+        jax.devices()[0].platform not in ("cpu",)
+    if interpret is not None:
+        use_pallas = True
+    if use_pallas:
+        return stencil_matvec_soa(op.blocks, op.kron, x_soa, op.offsets,
+                                  bi_v, bd_v, interpret=bool(interpret))
+    return stencil_matvec_soa_reference(op.blocks, op.kron, x_soa,
+                                        op.offsets, bi_v, bd_v)
+
+
 def _acc_dtype(dt):
     if dt in (jnp.bfloat16.dtype, jnp.float16.dtype):
         return jnp.float32
@@ -515,7 +570,26 @@ def bsr_krylov(
     else:
         xc = _reshape(xc, lat_shape + (BD, Ncols))
 
-    apply_fn = _apply_stencil if op.mode == "stencil" else _apply_gather
+    if op.mode == "stencil_soa":
+        from .ops.stencil_pallas import aos_to_soa, soa_to_aos
+
+        ki_v = volume(op.ki) if op.kron is not None else 1
+        bi_v = volume(op.bi)
+
+        def apply_fn(o, v):
+            nl = len(o.dim_d)
+            if o.kron is None:
+                v = cplx.cmap(lambda a: a[..., None, :, :], v) \
+                    if cplx.is_carray(v) else v[..., None, :, :]
+            if not cplx.is_carray(v):
+                v = cplx.CArray(v, jnp.zeros_like(v))
+            y = soa_to_aos(apply_stencil_soa(o, aos_to_soa(v, nl)),
+                           nl, ki_v, bi_v)
+            if o.kron is None:
+                y = cplx.cmap(lambda a: a[..., 0, :, :], y)
+            return y
+    else:
+        apply_fn = _apply_stencil if op.mode == "stencil" else _apply_gather
 
     if power > 1 and (volume(op.bi) != volume(op.bd) or op.dim_i != op.dim_d
                       or (op.kron is not None and volume(op.ki) != volume(op.kd))):

@@ -63,12 +63,16 @@ def wilson_operator(
     key=None,
     dtype=jnp.complex64,
     links: Optional[np.ndarray] = None,
+    layout: str = "aos",
 ) -> BSROperator:
     """Build the Wilson operator as a split-complex Kron-BSR stencil.
 
     Labels: lattice "xyzt"[:nd], spin "S" (kron factor), color "c"/"C".
     ``dtype`` picks precision: complex64 -> float32 parts, complex128 ->
-    float64 parts.
+    float64 parts.  ``layout="soa"`` builds the lattice-minor hot layout
+    whose matvec runs in the Pallas stencil kernel — the production path
+    on TPU (requires T % 128 == 0, Z % 8 == 0); apply_wilson then takes
+    SoA operands [ncols, 12, *lat].
     """
     nd = len(lat_dims)
     if key is None:
@@ -115,19 +119,63 @@ def wilson_operator(
         kron=cplx.CArray(jnp.asarray(kron.real.astype(part_dt)),
                          jnp.asarray(kron.imag.astype(part_dt))),
         kron_i={"S": NS}, kron_d={"S": NS},
+        layout=layout,
     )
 
 
 def apply_wilson(op: BSROperator, x) -> Union[jax.Array, cplx.CArray]:
-    """y = D x with x shaped [*lat, NS, NC, ncols] (CArray or complex)."""
+    """y = D x.
+
+    AoS operators take x shaped [*lat, NS, NC, ncols] (CArray or
+    complex); SoA operators (layout='soa') take [ncols, NS*NC, *lat]
+    CArrays and run the Pallas stencil kernel."""
+    if op.mode == "stencil_soa":
+        from ..bsr import apply_stencil_soa
+
+        return apply_stencil_soa(op, x)
     nd = len(op.dim_d)
     ox = "xyzt"[:nd] + "SCn"
     return bsr_krylov(1.0, op, x, ox)
 
 
+def _adjoint_soa(op: BSROperator) -> BSROperator:
+    """Adjoint of an SoA stencil operator: blocks [ndir, bi*bd, *lat]."""
+    from ..labels import volume as _vol
+
+    bi, bd = _vol(op.bi), _vol(op.bd)
+
+    def adj(a):
+        ndir, FB = a.shape[0], a.shape[1]
+        lat = a.shape[2:]
+        a = a.reshape((ndir, bi, bd) + lat)
+        a = jnp.swapaxes(a, 1, 2)              # transpose block
+        rows = []
+        for k in range(ndir):
+            blk = a[k]
+            for ax, off in enumerate(op.offsets[k]):
+                if off % lat[ax] != 0:
+                    blk = jnp.roll(blk, off, axis=2 + ax)
+            rows.append(blk)
+        return jnp.stack(rows, 0).reshape((ndir, FB) + lat)
+
+    blocks_adj = cplx.conj(cplx.cmap(adj, op.blocks))
+    kron_adj = None
+    if op.kron is not None:
+        kron_adj = cplx.conj(cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2),
+                                       op.kron))
+    return BSROperator(
+        **{**op.__dict__,
+           "blocks": blocks_adj,
+           "kron": kron_adj,
+           "offsets": tuple(tuple(-o for o in off) for off in op.offsets)},
+    )
+
+
 def adjoint_operator(op: BSROperator) -> BSROperator:
     """The conjugate-transposed stencil operator: direction k's adjoint
     has offset -o_k and block A_k(s - o_k)^H."""
+    if op.mode == "stencil_soa":
+        return _adjoint_soa(op)
     nd = len(op.dim_d)
     ndir = op.ndir
 

@@ -1,0 +1,62 @@
+"""Pallas SoA stencil kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superbblas_tpu import cplx
+from superbblas_tpu.ops import stencil_pallas as SP
+
+LAT = (2, 4, 8, 128)
+
+
+def offsets4():
+    offs = [(0, 0, 0, 0)]
+    for ax in range(4):
+        for sgn in (1, -1):
+            o = [0, 0, 0, 0]
+            o[ax] = sgn
+            offs.append(tuple(o))
+    return offs
+
+
+def crand(shape, seed):
+    rng = np.random.default_rng(seed)
+    return cplx.CArray(
+        jnp.asarray(rng.standard_normal(shape), jnp.float32),
+        jnp.asarray(rng.standard_normal(shape), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("with_kron", [True, False])
+def test_kernel_matches_reference(with_kron):
+    offs = offsets4()
+    bi = bd = 3
+    ki = kd = 2 if with_kron else 1
+    n = 2
+    blocks = crand((len(offs), bi * bd) + LAT, 0)
+    kron = crand((len(offs), ki, kd), 1) if with_kron else None
+    x = crand((n, kd * bd) + LAT, 2)
+    got = SP.stencil_matvec_soa(blocks, kron, x, offs, bi, bd, interpret=True)
+    want = SP.stencil_matvec_soa_reference(blocks, kron, x, offs, bi, bd)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_soa_layout_roundtrip():
+    n, kd, bd = 3, 4, 3
+    x = crand(LAT + (kd, bd, n), 3)
+    soa = SP.aos_to_soa(x, 4)
+    assert soa.shape == (n, kd * bd) + LAT
+    back = SP.soa_to_aos(soa, 4, kd, bd)
+    np.testing.assert_array_equal(np.asarray(back.re), np.asarray(x.re))
+
+
+def test_eligibility():
+    offs = offsets4()
+    assert SP.soa_eligible(offs, LAT, 3, 3, 4, 4)
+    assert not SP.soa_eligible(offs, (4, 4, 4, 100), 3, 3, 4, 4)  # T%128
+    assert not SP.soa_eligible([(0, 0, 0, 2)], LAT, 3, 3, 4, 4)   # offset 2
+    assert not SP.soa_eligible(offs, (4, 4, 4), 3, 3, 1, 1)       # 3D
