@@ -28,7 +28,7 @@ from .parallel import (
     make_mesh,
     partition_sharding,
     partitioning_distributed_procs,
-    redistribute,
+    reshard,
 )
 
 __version__ = "0.1.0"
@@ -58,5 +58,5 @@ __all__ = [
     "make_mesh",
     "partition_sharding",
     "partitioning_distributed_procs",
-    "redistribute",
+    "reshard",
 ]

@@ -8,7 +8,14 @@ from .partition import (
     subtract_interval,
 )
 from .mesh import make_mesh, partition_sharding, sharding_partition
-from .dist import contraction, copy, redistribute
+from .dist import contraction, copy, reshard
+from .halo import crop_halos, exchange_halos
+from .redistribute import (
+    make_plan,
+    pack_global,
+    redistribute_explicit,
+    unpack_global,
+)
 
 __all__ = [
     "Factors23",
@@ -23,5 +30,11 @@ __all__ = [
     "sharding_partition",
     "contraction",
     "copy",
-    "redistribute",
+    "reshard",
+    "crop_halos",
+    "exchange_halos",
+    "make_plan",
+    "pack_global",
+    "redistribute_explicit",
+    "unpack_global",
 ]

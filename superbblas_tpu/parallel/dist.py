@@ -188,6 +188,6 @@ def contraction(
     )
 
 
-def redistribute(x: jax.Array, sharding) -> jax.Array:
+def reshard(x: jax.Array, sharding) -> jax.Array:
     """Reshard a global array (the pure-layout case of distributed copy)."""
     return jax.device_put(x, sharding)

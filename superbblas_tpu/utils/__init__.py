@@ -11,3 +11,15 @@ __all__ = [
     "numpy_copy_reference",
     "verify_copy",
 ]
+
+from . import tracker
+from .tracker import (
+    get_timings,
+    report_memory_usage,
+    report_timings,
+    reset_timings,
+    track,
+)
+
+__all__ += ["tracker", "track", "get_timings", "reset_timings",
+            "report_timings", "report_memory_usage"]

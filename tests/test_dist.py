@@ -131,7 +131,7 @@ def test_distributed_contraction(mesh, dist0, dist1):
 def test_redistribute(mesh):
     x = rand((8, 8), seed=8)
     xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x", None)))
-    y = par.redistribute(xd, NamedSharding(mesh, P(None, "y")))
+    y = par.reshard(xd, NamedSharding(mesh, P(None, "y")))
     np.testing.assert_array_equal(np.asarray(y), x)
     assert y.sharding.spec == P(None, "y")
 

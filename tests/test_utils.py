@@ -1,0 +1,72 @@
+"""Tracker, reduce ops, and debug-ladder tests."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superbblas_tpu import cplx
+from superbblas_tpu.ops.reduce import label_sum, scal, select
+from superbblas_tpu.utils import tracker
+from superbblas_tpu.utils.testing import check_consistency, verify_copy
+
+
+def test_tracker_paths_and_report():
+    tracker.reset_timings()
+    with tracker.track("outer", flops=100, force=True):
+        with tracker.track("inner", flops=50, memops=10, force=True):
+            _ = jnp.ones((4, 4)).sum()
+    t = tracker.get_timings()
+    assert "outer" in t and "outer/inner" in t
+    assert t["outer/inner"]["flops"] == 50
+    rep = tracker.report_timings()
+    assert "outer/inner" in rep and "GFLOPS" in rep
+    tracker.reset_timings()
+
+
+def test_tracker_disabled_is_noop():
+    tracker.reset_timings()
+    with tracker.track("nope"):
+        pass
+    assert tracker.get_timings() == {}
+
+
+def test_memory_report_runs():
+    usage = tracker.report_memory_usage()
+    assert "live_array_bytes" in usage
+
+
+def test_label_sum():
+    x = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    got = label_sum(jnp.asarray(x), "abc", "ca")
+    np.testing.assert_allclose(np.asarray(got), x.sum(axis=1).T)
+
+
+def test_label_sum_carray():
+    x = np.arange(12).reshape(3, 4) + 1j * np.ones((3, 4))
+    got = label_sum(cplx.from_complex(x), "ab", "b")
+    np.testing.assert_allclose(np.asarray(got.re), x.real.sum(0))
+
+
+def test_select():
+    x = np.arange(16, dtype=np.float64).reshape(4, 4)
+    m = x % 3 == 0
+    got = select(jnp.asarray(x), m)
+    np.testing.assert_array_equal(np.asarray(got), x.reshape(-1)[m.reshape(-1)])
+
+
+def test_scal():
+    x = cplx.from_complex(np.ones((2, 2)) + 1j)
+    got = scal(2j, x)
+    np.testing.assert_allclose(np.asarray(got.re), -2 * np.ones((2, 2)))
+
+
+def test_verify_copy_ok():
+    verify_copy((4, 4), "ab", (4, 4), "ba", (0, 0), (2, 2), (1, 1), "copy")
+
+
+def test_check_consistency():
+    check_consistency(o0="abc", size0=(1, 2))
+    with pytest.raises(ValueError):
+        check_consistency(o0="aa")
