@@ -8,7 +8,7 @@ dot_general/Pallas instead of vendor BLAS, ppermute halo exchange instead of
 Ialltoallv.
 """
 
-from . import bsr, flags, labels, models, parallel, utils
+from . import aot, bsr, context, cplx, dense, flags, labels, models, native, parallel, storage, utils
 from .bsr import (
     BSROperator,
     bsr_from_stencil,
@@ -34,7 +34,13 @@ from .parallel import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "aot",
     "bsr",
+    "context",
+    "cplx",
+    "dense",
+    "native",
+    "storage",
     "flags",
     "labels",
     "models",

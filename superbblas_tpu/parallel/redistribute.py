@@ -82,32 +82,56 @@ class RedistributionPlan:
         # fragments[i][j]: list of (box, src_idx, dst_idx)
         pair_src = [[[] for _ in range(n)] for _ in range(n)]
         pair_dst = [[[] for _ in range(n)] for _ in range(n)]
-        for j in range(n):
-            dfrm, dsize = dst.boxes[j]
-            if volume(dsize) == 0:
-                continue
-            remaining = [(dfrm, dsize)]
-            for i in range(n):
-                sfrm, ssize = src.boxes[i]
-                if volume(ssize) == 0:
+
+        def add_fragment(i, j, ff, fs):
+            if volume(fs) == 0:
+                return
+            sfrm = src.boxes[i][0]
+            dfrm = dst.boxes[j][0]
+            pair_src[i][j].append(
+                _box_flat_indices(ff, fs, sfrm, self.src_shape, dim))
+            pair_dst[i][j].append(
+                _box_flat_indices(ff, fs, dfrm, self.dst_shape, dim))
+
+        # Prefer the native C++ plan engine (all-pairs fragment sweep);
+        # fall back to the Python box algebra.
+        from .. import native
+
+        rows = native.fragment_plan(
+            np.asarray([[b[0], b[1]] for b in src.boxes]),
+            np.asarray([[b[0], b[1]] for b in dst.boxes]),
+            dim, copy_add,
+        )
+        if rows is not None:
+            nd = len(dim)
+            for row in rows:
+                i, j = int(row[0]), int(row[1])
+                add_fragment(i, j, tuple(row[2:2 + nd]),
+                             tuple(row[2 + nd:2 + 2 * nd]))
+        else:
+            for j in range(n):
+                dfrm, dsize = dst.boxes[j]
+                if volume(dsize) == 0:
                     continue
-                if copy_add == "copy":
-                    new_remaining = []
-                    frags = []
-                    for rf, rs in remaining:
-                        frags.extend(intersect_box(rf, rs, sfrm, ssize, dim))
-                        new_remaining.extend(
-                            box_minus(rf, rs, sfrm, ssize, dim))
-                    remaining = new_remaining
-                else:
-                    frags = list(intersect_box(dfrm, dsize, sfrm, ssize, dim))
-                for ff, fs in frags:
-                    if volume(fs) == 0:
+                remaining = [(dfrm, dsize)]
+                for i in range(n):
+                    sfrm, ssize = src.boxes[i]
+                    if volume(ssize) == 0:
                         continue
-                    pair_src[i][j].append(
-                        _box_flat_indices(ff, fs, sfrm, self.src_shape, dim))
-                    pair_dst[i][j].append(
-                        _box_flat_indices(ff, fs, dfrm, self.dst_shape, dim))
+                    if copy_add == "copy":
+                        new_remaining = []
+                        frags = []
+                        for rf, rs in remaining:
+                            frags.extend(
+                                intersect_box(rf, rs, sfrm, ssize, dim))
+                            new_remaining.extend(
+                                box_minus(rf, rs, sfrm, ssize, dim))
+                        remaining = new_remaining
+                    else:
+                        frags = list(
+                            intersect_box(dfrm, dsize, sfrm, ssize, dim))
+                    for ff, fs in frags:
+                        add_fragment(i, j, ff, fs)
 
         self.max_elems = max(
             (sum(len(a) for a in pair_src[i][j])
