@@ -80,11 +80,12 @@ def _crc(data: bytes, prev: int = 0) -> int:
 
 
 def _blocked_crc(data: bytes, blocksize: int) -> int:
-    """storage.h:698-730: CRC pieces of `blocksize` bytes; if more than
-    one piece, CRC of the uint32-LE piece-CRC array."""
-    if blocksize <= 0 or len(data) <= blocksize:
+    """storage.h:698-730: CRC pieces of `blocksize` bytes, then the CRC of
+    the uint32-LE piece-CRC array — note the reference wraps even a single
+    piece (num_blocks >= 1 whenever blocking is enabled)."""
+    if blocksize <= 0:
         return _crc(data)
-    n = (len(data) + blocksize - 1) // blocksize
+    n = max(1, (len(data) + blocksize - 1) // blocksize)
     piece = np.empty(n, dtype="<u4")
     for i in range(n):
         piece[i] = _crc(data[i * blocksize:(i + 1) * blocksize])
@@ -207,12 +208,19 @@ def open_storage(path: str, mode: str = "r+") -> Storage:
             checksum_blocksize=cbs, byteswap=swap, num_chunks=num_chunks,
         )
         sto._num_chunks_off = num_chunks_off
+        # running header crc: everything up to (excluding) num_chunks
+        f.seek(0)
+        sto.header_crc = _crc(f.read(num_chunks_off))
+        f.seek(num_chunks_off + 8)
 
-        # walk chunks to build the block index
+        # walk chunks to build the block index (and the header crc)
         itemsize = sto.dtype.itemsize
         for _ in range(num_chunks):
-            nblocks = int(np.frombuffer(f.read(8), dtype=dfmt)[0])
-            coords = np.frombuffer(f.read(8 * 2 * ndim * nblocks), dtype=dfmt)
+            raw_n = f.read(8)
+            nblocks = int(np.frombuffer(raw_n, dtype=dfmt)[0])
+            raw_coords = f.read(8 * 2 * ndim * nblocks)
+            sto.header_crc = _crc(raw_coords, _crc(raw_n, sto.header_crc))
+            coords = np.frombuffer(raw_coords, dtype=dfmt)
             coords = coords.reshape(nblocks, 2, ndim).astype(np.int64)
             voff = f.tell()
             offsets = []
@@ -230,6 +238,10 @@ def open_storage(path: str, mode: str = "r+") -> Storage:
                     frm=tuple(coords[b, 0]), size=tuple(coords[b, 1]),
                     values_offset=offsets[b], checksum_offset=coffs[b],
                 ))
+        data_end = f.tell()
+        f.seek(0, os.SEEK_END)
+        sto._has_trailer = f.tell() >= data_end + 8
+        sto._data_end = data_end
     return sto
 
 
@@ -242,6 +254,12 @@ def append_blocks(sto: Storage, boxes) -> None:
     boxes = [(tuple(int(v) for v in f), tuple(int(v) for v in s))
              for f, s in boxes]
     f = sto._open()
+    if getattr(sto, "_has_trailer", False):
+        # a previously-written trailing checksum is overwritten by the
+        # new chunk and re-emitted at close
+        f.truncate(sto._data_end if hasattr(sto, "_data_end")
+                   else os.path.getsize(sto.path) - 8)
+        sto._has_trailer = False
     f.seek(0, os.SEEK_END)
     chunk_meta = struct.pack("<d", float(len(boxes)))
     for frm, size in boxes:
@@ -265,6 +283,7 @@ def append_blocks(sto: Storage, boxes) -> None:
             crc = _blocked_crc(b"\x00" * nbytes, sto.checksum_blocksize)
             f.write(struct.pack("<d", float(crc)))
     sto.blocks.extend(new_blocks)
+    sto._data_end = f.tell()
 
     sto.num_chunks += 1
     f.seek(sto._num_chunks_off)
@@ -452,8 +471,32 @@ def check_or_write_checksums(sto: Storage) -> None:
             if stored != crc:
                 raise ValueError(
                     f"{sto.path}: block checksum mismatch at {blk.frm}")
+        # trailing header checksum (storage.h:2099-2116): crc of the file
+        # excluding num_chunks / values / per-block checksums
+        data_end = getattr(sto, "_data_end", None)
+        if data_end is None:
+            f.seek(0, os.SEEK_END)
+            data_end = f.tell() - (8 if getattr(sto, "_has_trailer", False)
+                                   else 0)
+        if sto.mode != "r" and not getattr(sto, "_has_trailer", False):
+            f.seek(data_end)
+            f.write(struct.pack("<d", float(sto.header_crc)))
+            sto._has_trailer = True
+            f.flush()
+        elif getattr(sto, "_has_trailer", False):
+            f.seek(data_end)
+            stored = int(struct.unpack("<d", f.read(8))[0])
+            if stored != sto.header_crc:
+                raise ValueError(f"{sto.path}: header checksum mismatch")
 
 
 def close_storage(sto: Storage) -> None:
+    """Write pending checksums and close (close_storage,
+    storage.h:2451-2462: checksums are flushed on close)."""
+    if sto.mode != "r" and sto.checksum_level != 0:
+        try:
+            check_or_write_checksums(sto)
+        except ValueError:
+            raise
     if sto._file is not None and not sto._file.closed:
         sto._file.close()
