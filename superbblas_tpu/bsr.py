@@ -410,12 +410,18 @@ def _roll_lat(x, offset, nlat):
     return x
 
 
-def _apply_stencil(op: BSROperator, xc: jax.Array) -> jax.Array:
+def _apply_stencil(op: BSROperator, xc: jax.Array, shift=None) -> jax.Array:
     """Core stencil matvec on canonical operands.
 
     xc: [*lat_d, KD, BD, N] (KD axis present only in kron mode).
     returns [*lat_i, KI, BI, N].
+
+    ``shift(x, off, nlat)`` overrides the toroidal roll that fetches the
+    neighbor operand (used by parallel/overlap.py to zero-fill across
+    shard boundaries so the core matvec carries no collective).
     """
+    if shift is None:
+        shift = _roll_lat
     nlat = len(op.dim_d)
     ndir = op.ndir
     if op.kron is None:
@@ -424,7 +430,7 @@ def _apply_stencil(op: BSROperator, xc: jax.Array) -> jax.Array:
         # ONE batched GEMM with K = ndir*BD: bigger MXU tiles than ndir
         # separate small GEMMs (reference loops directions, bsr.h:535-655).
         xs = _stack(
-            [_roll_lat(xc, off, nlat) for off in op.offsets], axis=nlat
+            [shift(xc, off, nlat) for off in op.offsets], axis=nlat
         )  # [*lat, ndir, BD, N]
         # [*lat, ndir, BI, BD] x [*lat, ndir, BD, N] -> sum over (ndir, BD)
         y = cplx.cdot_general(
@@ -440,7 +446,7 @@ def _apply_stencil(op: BSROperator, xc: jax.Array) -> jax.Array:
     # kron mode: xc [*lat, KD, BD, N]
     ys = None
     for k, off in enumerate(op.offsets):
-        xs = _roll_lat(xc, off, nlat)                      # [*lat, KD, BD, N]
+        xs = shift(xc, off, nlat)                          # [*lat, KD, BD, N]
         blk = _idx(op.blocks, (slice(None),) * nlat + (k,))  # [*lat, BI, BD]
         # color contraction: [*lat, BI, BD] x [*lat, KD, BD, N]
         t = cplx.cdot_general(

@@ -10,6 +10,8 @@ from .partition import (
 from .mesh import make_mesh, partition_sharding, sharding_partition
 from .dist import contraction, copy, reshard
 from .halo import crop_halos, exchange_halos
+from .overlap import bsr_krylov_overlap
+from .powers import bsr_krylov_ca
 from .redistribute import (
     make_plan,
     pack_global,
@@ -33,6 +35,8 @@ __all__ = [
     "reshard",
     "crop_halos",
     "exchange_halos",
+    "bsr_krylov_overlap",
+    "bsr_krylov_ca",
     "make_plan",
     "pack_global",
     "redistribute_explicit",
