@@ -121,20 +121,28 @@ def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
     return flops / dt / 1e9, memops / dt / 1e9, dt
 
 
-def bench_copy(shape=(64, 64, 64, 64)):
+def bench_copy(shape=(128, 64, 64, 128)):
     import jax
     import jax.numpy as jnp
 
     from superbblas_tpu import local_permute
+    from superbblas_tpu.ops.permute_pallas import (
+        pallas_permute,
+        permute_eligible,
+    )
 
     x = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
+    use_pallas = (jax.devices()[0].platform in ("tpu", "axon")
+                  and permute_eligible(shape, (3, 2, 1, 0), jnp.float32))
 
     def make_fn(n):
         def chained(v):
             def body(c, _):
                 # reversal permute is self-inverse; +1 defeats
                 # double-transpose simplification across iterations
-                return local_permute(c, "xyzt", "tzyx") + 1.0, ()
+                t = (pallas_permute(c, (3, 2, 1, 0)) if use_pallas
+                     else local_permute(c, "xyzt", "tzyx"))
+                return t + 1.0, ()
             c, _ = jax.lax.scan(body, v, None, length=n)
             return jnp.sum(c)
         jitted = jax.jit(chained)

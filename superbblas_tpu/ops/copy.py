@@ -86,7 +86,10 @@ def _permute_to(x_box, o0: str, o1: str):
     order_in_o1 = [c for c in o1 if c in o0]
     perm = [o0.index(c) for c in order_in_o1]
     if perm != list(range(len(perm))):
-        x_box = jnp.transpose(x_box, perm)
+        from .permute_pallas import maybe_pallas_permute
+
+        out = maybe_pallas_permute(x_box, perm)   # TPU eager fast path
+        x_box = out if out is not None else jnp.transpose(x_box, perm)
     # Insert length-1 axes for o1 labels not in o0.
     if len(order_in_o1) != len(o1):
         shape = []
