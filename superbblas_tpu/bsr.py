@@ -459,7 +459,8 @@ def _apply_stencil(op: BSROperator, xc: jax.Array, shift=None) -> jax.Array:
         ).astype(xc.dtype)  # [*lat, BI, KD, N]
         # spin factor: kron[k] [KI, KD] applied on the KD axis
         yk = cplx.cbilinear(
-            lambda kk, tt: jnp.einsum("ab,...ibn->...ian", kk, tt),
+            lambda kk, tt: jnp.einsum("ab,...ibn->...ian", kk, tt,
+                                      precision=cplx.default_precision()),
             _idx(op.kron, k), t,
         )
         ys = yk if ys is None else cplx.add(ys, yk)        # [*lat, BI, KI, N]

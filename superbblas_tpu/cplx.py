@@ -172,11 +172,26 @@ def cbilinear(f, a, b):
     return CArray((k1 - k2).astype(out_dt), (k1 + k3).astype(out_dt))
 
 
+def default_precision():
+    """lax.Precision from SBT_MATMUL_PRECISION (see flags.py: "highest"
+    by default so f32 contractions match the reference's true-fp32
+    semantics instead of the MXU's bf16 rounding)."""
+    from . import flags
+
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[flags.get_matmul_precision()]
+
+
 def cdot_general(a, b, dimension_numbers, preferred_element_type=None,
                  precision=None):
     """dot_general over split-complex operands via 3 real dot_generals
     (Gauss/Karatsuba).  Falls back to plain dot_general when both operands
     are real arrays."""
+    if precision is None:
+        precision = default_precision()
 
     def dg(x, y):
         return jax.lax.dot_general(

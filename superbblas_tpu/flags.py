@@ -11,6 +11,15 @@ TPU-native analog of the reference's ``runtime_features.h:15-158`` (env vars
   * ``SBT_TRACK_MEM``  (0/1): enable live-array accounting.
   * ``SBT_PALLAS``     (0/1, default 1): allow Pallas kernels on TPU; 0
     forces the pure-XLA fallbacks everywhere.
+  * ``SBT_MATMUL_PRECISION`` ("highest"|"high"|"default", default
+    "highest"): MXU precision for f32 matmuls/einsums.  The TPU MXU
+    natively multiplies bf16; "default" rounds f32 inputs to bf16 (fast,
+    ~1e-2 relative error), "high"/"highest" use 3/6-pass bf16 splitting.
+    The default is "highest" because the reference library computes in
+    true fp32/fp64 and the test parity contract (BASELINE.md) is
+    "bitwise-tolerant fp32" — benchmarks that want raw MXU speed pass
+    bf16 operands explicitly, where this flag is a no-op.  The Pallas
+    stencil kernel is unaffected (VPU f32 FMAs are exact).
 """
 
 from __future__ import annotations
@@ -50,9 +59,24 @@ def get_use_pallas() -> bool:
     return bool(_env_int("SBT_PALLAS", 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _env_str(name: str, default: str) -> str:
+    v = os.environ.get(name)
+    return default if v is None or v == "" else v
+
+
+def get_matmul_precision() -> str:
+    v = _env_str("SBT_MATMUL_PRECISION", "highest").lower()
+    if v not in ("default", "high", "highest"):
+        raise ValueError(
+            f"SBT_MATMUL_PRECISION must be default|high|highest, got {v!r}")
+    return v
+
+
 def clear_cache() -> None:
     """Re-read environment variables (for tests)."""
     _env_int.cache_clear()
+    _env_str.cache_clear()
 
 
 def log(level: int, msg: str) -> None:

@@ -8,6 +8,14 @@ from .wilson import (
     random_su3_links,
     wilson_operator,
 )
+from .staggered import apply_staggered, eta_phases, staggered_operator
+from .clover import (
+    CloverOperator,
+    apply_clover,
+    clover_field_strength,
+    wilson_clover_operator,
+)
+from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 
 __all__ = [
     "adjoint_operator",
@@ -18,4 +26,14 @@ __all__ = [
     "gamma_matrices",
     "random_su3_links",
     "wilson_operator",
+    "apply_staggered",
+    "eta_phases",
+    "staggered_operator",
+    "CloverOperator",
+    "apply_clover",
+    "clover_field_strength",
+    "wilson_clover_operator",
+    "checkerboard_masks",
+    "eo_solve",
+    "schur_matvec",
 ]

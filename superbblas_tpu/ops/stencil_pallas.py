@@ -272,11 +272,14 @@ def stencil_matvec_soa_reference(blocks, kron, x, offsets, bi, bd):
     for d in range(ndir):
         xd = roll(xs4, offsets[d])
         kr = cplx.CArray(kron.re[d], kron.im[d])
+        prec = cplx.default_precision()
         z = cplx.cbilinear(
-            lambda K, V: jnp.einsum("ab,nbj...->naj...", K, V), kr, xd)
+            lambda K, V: jnp.einsum("ab,nbj...->naj...", K, V,
+                                    precision=prec), kr, xd)
         blk = cplx.cmap(lambda a: a[d].reshape((bi, bd) + lat), blocks)
         t = cplx.cbilinear(
-            lambda B, V: jnp.einsum("ij...,naj...->nai...", B, V), blk, z)
+            lambda B, V: jnp.einsum("ij...,naj...->nai...", B, V,
+                                    precision=prec), blk, z)
         y = t if y is None else cplx.add(y, t)
     return cplx.cmap(lambda a: a.reshape((n, KI * bi) + lat), y)
 

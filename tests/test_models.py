@@ -1,0 +1,140 @@
+"""Staggered / clover / even-odd model families.
+
+Oracles are algebraic identities (the reference's dense.cpp style:
+round-trips and structure checks) plus dense materializations on tiny
+lattices.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superbblas_tpu import cplx
+from superbblas_tpu.models import (
+    apply_clover,
+    apply_staggered,
+    apply_wilson,
+    eo_solve,
+    eta_phases,
+    gamma_matrices,
+    staggered_operator,
+    wilson_clover_operator,
+    wilson_operator,
+)
+
+
+def materialize(apply_fn, lat, blk_shape):
+    """Dense matrix of a lattice operator by applying it to a basis batch.
+    Returns [V*blk, V*blk] complex numpy (column j = A e_j)."""
+    blk = int(np.prod(blk_shape))
+    V = int(np.prod(lat))
+    n = V * blk
+    eye = np.eye(n).reshape(lat + tuple(blk_shape) + (n,))
+    x = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
+    y = apply_fn(x)
+    out = np.asarray(y.re) + 1j * np.asarray(y.im)
+    return out.reshape(n, n)
+
+
+def test_eta_phases():
+    eta = eta_phases((4, 4))
+    assert (eta[0] == 1).all()                       # eta_0 = 1 always
+    assert eta[1][1, 0] == -1 and eta[1][2, 0] == 1  # (-1)^x
+
+
+def test_staggered_antihermitian_hopping():
+    """D + D^H = 2m I (the hopping part is anti-Hermitian)."""
+    lat, m = (4, 4), 0.25
+    op = staggered_operator(lat, mass=m, key=1, dtype=jnp.complex128)
+    D = materialize(lambda x: apply_staggered(op, x), lat, (3,))
+    np.testing.assert_allclose(D + D.conj().T, 2 * m * np.eye(D.shape[0]),
+                               atol=1e-12)
+
+
+def test_staggered_matches_numpy_oracle():
+    lat, m = (4, 2), 0.3
+    rng = np.random.default_rng(3)
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    links = random_su3_links(rng, lat)
+    op = staggered_operator(lat, mass=m, links=links, dtype=jnp.complex128)
+    eta = eta_phases(lat)
+    x = rng.standard_normal(lat + (3, 2)) + 1j * rng.standard_normal(lat + (3, 2))
+
+    y = np.zeros_like(x)
+    for s in itertools.product(*[range(d) for d in lat]):
+        y[s] = m * x[s]
+        for mu in range(2):
+            fwd = tuple((c + (1 if a == mu else 0)) % d
+                        for a, (c, d) in enumerate(zip(s, lat)))
+            bwd = tuple((c - (1 if a == mu else 0)) % d
+                        for a, (c, d) in enumerate(zip(s, lat)))
+            y[s] += 0.5 * eta[mu][s] * (links[mu][s] @ x[fwd]
+                                        - links[mu][bwd].conj().T @ x[bwd])
+
+    got = apply_staggered(op, cplx.from_complex(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(got.re) + 1j * np.asarray(got.im),
+                               y, rtol=1e-12, atol=1e-12)
+
+
+def test_clover_blocks_hermitian():
+    lat = (2, 2, 2, 2)
+    op = wilson_clover_operator(lat, mass=0.1, c_sw=1.3, key=2,
+                                dtype=jnp.complex128)
+    blk = np.asarray(op.clover.blocks.re) + 1j * np.asarray(op.clover.blocks.im)
+    blk = blk.reshape(-1, 12, 12)
+    np.testing.assert_allclose(blk, np.swapaxes(blk, -1, -2).conj(),
+                               atol=1e-12)
+
+
+def test_clover_gamma5_hermiticity():
+    """gamma5 D gamma5 = D^H holds for Wilson-clover (the defining
+    symmetry; it requires the clover term to be built consistently)."""
+    lat = (2, 2, 2, 2)
+    op = wilson_clover_operator(lat, mass=0.15, c_sw=0.9, key=4,
+                                dtype=jnp.complex128)
+    D = materialize(lambda x: apply_clover(op, x), lat, (4, 3))
+    g = gamma_matrices()
+    g5 = g[0] @ g[1] @ g[2] @ g[3]
+    G5 = np.kron(np.eye(D.shape[0] // 12), np.kron(g5, np.eye(3)))
+    np.testing.assert_allclose(G5 @ D @ G5, D.conj().T, atol=1e-10)
+
+
+def test_clover_reduces_to_wilson():
+    lat = (2, 2, 2, 2)
+    rng = np.random.default_rng(0)
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    links = random_su3_links(rng, lat)
+    opc = wilson_clover_operator(lat, mass=0.1, c_sw=0.0, links=links,
+                                 dtype=jnp.complex128)
+    opw = wilson_operator(lat, mass=0.1, links=links, dtype=jnp.complex128)
+    shape = lat + (4, 3, 2)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+    yc = apply_clover(opc, x)
+    yw = apply_wilson(opw, x)
+    np.testing.assert_allclose(np.asarray(yc.re), np.asarray(yw.re),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(yc.im), np.asarray(yw.im),
+                               atol=1e-12)
+
+
+def test_eo_solve_residual():
+    lat, m, r = (4, 4, 2, 2), 0.4, 1.0
+    op = wilson_operator(lat, mass=m, r=r, key=5, dtype=jnp.complex128)
+    rng = np.random.default_rng(8)
+    shape = lat + (4, 3, 1)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+
+    psi, _ = eo_solve(op, b, a=m + 4 * r, n_iters=60)
+    res = apply_wilson(op, psi)
+    dre = np.asarray(res.re) - np.asarray(b.re)
+    dim_ = np.asarray(res.im) - np.asarray(b.im)
+    rel = np.sqrt((dre ** 2 + dim_ ** 2).sum()
+                  / (np.asarray(b.re) ** 2 + np.asarray(b.im) ** 2).sum())
+    assert rel < 1e-8, rel
