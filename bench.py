@@ -157,6 +157,29 @@ def bench_copy(shape=(128, 64, 64, 128)):
     return nbytes / dt / 1e9, dt
 
 
+def bench_shift(shape=(128, 64, 64, 128)):
+    """Toroidal tensor shift (halo-exchange analog on one chip): the
+    reference's tests/dist.cpp:303-330 shift benchmark; under a sharded
+    mesh the same roll compiles to neighbor collective permutes."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
+
+    def make_fn(n):
+        def chained(v):
+            def body(c, _):
+                return jnp.roll(c, 1, axis=0) + 1.0, ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(c)
+        jitted = jax.jit(chained)
+        return lambda: jitted(x)
+
+    dt = time_chained(make_fn, n1=50, n2=250)
+    nbytes = 2 * x.size * 4
+    return nbytes / dt / 1e9, dt
+
+
 def main():
     import jax
 
@@ -183,6 +206,13 @@ def main():
             "value": round(cp_gb, 1),
             "unit": "GB/s",
             "vs_baseline": round(cp_gb / 800.0, 4),
+        }))
+        sh_gb, sh_dt = bench_shift()
+        print(json.dumps({
+            "metric": "shift_redistribution_bandwidth",
+            "value": round(sh_gb, 1),
+            "unit": "GB/s",
+            "vs_baseline": round(sh_gb / 800.0, 4),
         }))
 
 

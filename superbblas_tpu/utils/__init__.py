@@ -23,3 +23,7 @@ from .tracker import (
 
 __all__ += ["tracker", "track", "get_timings", "reset_timings",
             "report_timings", "report_memory_usage"]
+
+from .caches import clear_caches, report_cache_usage
+
+__all__ += ["clear_caches", "report_cache_usage"]

@@ -70,3 +70,18 @@ def test_check_consistency():
     check_consistency(o0="abc", size0=(1, 2))
     with pytest.raises(ValueError):
         check_consistency(o0="aa")
+
+
+def test_cache_report_and_clear(capsys):
+    from superbblas_tpu.utils import clear_caches, report_cache_usage
+    from superbblas_tpu.parallel import basic_partitioning
+    from superbblas_tpu.parallel.redistribute import make_plan
+
+    src = basic_partitioning("xy", (8, 8), (2, 1))
+    dst = basic_partitioning("xy", (8, 8), (1, 2))
+    make_plan(src, dst, "copy")
+    stats = report_cache_usage()
+    assert stats["redistribution_plans"]["entries"] >= 1
+    clear_caches()
+    stats = report_cache_usage()
+    assert stats["redistribution_plans"]["entries"] == 0
