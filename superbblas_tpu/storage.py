@@ -58,6 +58,8 @@ __all__ = [
     "load",
     "check_or_write_checksums",
     "close_storage",
+    "save_sharded",
+    "load_sharded",
 ]
 
 MAGIC = 314
@@ -500,3 +502,119 @@ def close_storage(sto: Storage) -> None:
             raise
     if sto._file is not None and not sto._file.closed:
         sto._file.close()
+
+
+# ---------------------------------------------------------------------------
+# sharded (distributed) checkpointing: the MPI-IO parallel-write analog
+# ---------------------------------------------------------------------------
+
+
+def _shard_boxes(x) -> List[Tuple[Tuple[int, ...], Tuple[int, ...]]]:
+    """Unique (from, size) boxes of a global array's addressable shards."""
+    arr = x.re if cplx.is_carray(x) else x
+    boxes = []
+    seen = set()
+    for sh in arr.addressable_shards:
+        frm = tuple(sl.start or 0 for sl in sh.index)
+        size = tuple(
+            (sl.stop if sl.stop is not None else d) - (sl.start or 0)
+            for sl, d in zip(sh.index, arr.shape))
+        if (frm, size) not in seen:
+            seen.add((frm, size))
+            boxes.append((frm, size))
+    return boxes
+
+
+def save_sharded(sto: Storage, x, o: str) -> None:
+    """Write a sharded global array, one S3T block per device shard.
+
+    The reference writes checkpoints collectively with MPI-IO: every rank
+    seeks to its own block's offset and writes only local data
+    (storage.h:202-342, 1002-1094).  Here every *device shard* is one
+    block: blocks are declared on first save (append_blocks), then each
+    shard's bytes go to its contiguous file region — no gather of the
+    global array.  Multi-process meshes write disjoint addressable shards
+    to a shared filesystem the same way (create/declare on process 0).
+
+    The resulting file is a plain S3T tensor: the reference
+    implementation (or :func:`load`) can read it with any partitioning.
+    """
+    check_order(o)
+    if len(o) != (x.re if cplx.is_carray(x) else x).ndim:
+        raise ValueError("order length must match array rank")
+    boxes = _shard_boxes(x)
+    if not sto.blocks:
+        append_blocks(sto, boxes)
+    declared = {(b.frm, b.size): b for b in sto.blocks}
+    arr = x.re if cplx.is_carray(x) else x
+    im_by_index = ({tuple(map(str, s.index)): s.data
+                    for s in x.im.addressable_shards}
+                   if cplx.is_carray(x) else None)
+    written = set()
+    for sh in arr.addressable_shards:
+        frm = tuple(sl.start or 0 for sl in sh.index)
+        size = tuple(
+            (sl.stop if sl.stop is not None else d) - (sl.start or 0)
+            for sl, d in zip(sh.index, arr.shape))
+        if (frm, size) in written:      # replicated shard: write once
+            continue
+        written.add((frm, size))
+        blk = declared.get((frm, size))
+        if blk is None:
+            raise ValueError(
+                f"shard box {(frm, size)} has no declared block; the file "
+                "was created with a different sharding")
+        data = np.asarray(sh.data)
+        if im_by_index is not None:
+            data = data + 1j * np.asarray(im_by_index[tuple(map(str, sh.index))])
+        _write_block(sto, blk, data.astype(sto.dtype))
+
+
+def load_sharded(sto: Storage, sharding, dtype=None):
+    """Read an S3T tensor directly into a sharded global array.
+
+    Each device's shard is assembled only from the file blocks it
+    intersects (jax.make_array_from_callback), so no host ever holds the
+    full tensor — the parallel-read analog of the reference's distributed
+    ``load`` (storage.h:1110-1186, each rank reads only overlapping
+    blocks via the GridHash index).
+    """
+    import jax as _jax
+
+    shape = sto.dim
+    complex_out = np.issubdtype(sto.dtype, np.complexfloating)
+    if dtype is None:
+        if complex_out:
+            dtype = (jnp.float32 if sto.dtype == np.complex64
+                     else jnp.float64)
+        else:
+            dtype = sto.dtype
+
+    def region(index):
+        frm = tuple(sl.start or 0 for sl in index)
+        size = tuple(
+            (sl.stop if sl.stop is not None else d) - (sl.start or 0)
+            for sl, d in zip(index, shape))
+        out = np.zeros(size, dtype=sto.dtype)
+        for blk in sto.blocks:
+            for ifrom, isize in intersect_box(frm, size, blk.frm, blk.size,
+                                              sto.dim):
+                if volume(isize) == 0:
+                    continue
+                data = _read_block(sto, blk)
+                roff = tuple((f - g) % d for f, g, d in zip(ifrom, frm, sto.dim))
+                boff = tuple((f - g) % d for f, g, d in zip(ifrom, blk.frm,
+                                                            sto.dim))
+                sl_r = tuple(slice(a, a + s) for a, s in zip(roff, isize))
+                sl_b = tuple(slice(a, a + s) for a, s in zip(boff, isize))
+                out[sl_r] = data[sl_b]
+        return out
+
+    if complex_out:
+        re = _jax.make_array_from_callback(
+            shape, sharding, lambda idx: region(idx).real.astype(dtype))
+        im = _jax.make_array_from_callback(
+            shape, sharding, lambda idx: region(idx).imag.astype(dtype))
+        return cplx.CArray(re, im)
+    return _jax.make_array_from_callback(
+        shape, sharding, lambda idx: region(idx).astype(dtype))

@@ -129,3 +129,57 @@ def test_we_write_reference_reads(tmp_path):
                          timeout=60)
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "ok" in out.stdout
+
+
+READER_SHARDED = r"""
+#include "superbblas.h"
+#include <vector>
+#include <cstdio>
+using namespace superbblas;
+int main() {
+    constexpr std::size_t Nd = 2;
+    Storage_handle sto;
+    open_storage<Nd, double>("OUT", false, &sto);
+    check_storage<Nd, double>(sto);   // verify per-shard block CRCs
+    Context ctx = createCpuContext();
+    std::vector<PartitionItem<Nd>> p(1);
+    p[0][0] = Coor<Nd>{0, 0}; p[0][1] = Coor<Nd>{8, 6};
+    std::vector<double> v(48, 0.0);
+    double *ptr = v.data();
+    load<Nd, Nd, double, double>(1.0, sto, "xy", Coor<Nd>{0, 0},
+                                 Coor<Nd>{8, 6}, p.data(), 1, "xy",
+                                 Coor<Nd>{0, 0}, Coor<Nd>{8, 6}, &ptr, &ctx,
+                                 SlowToFast, Copy);
+    close_storage<Nd, double>(sto);
+    for (int i = 0; i < 48; ++i)
+        if (v[i] != i * 1.5) { std::printf("bad %d\n", i); return 3; }
+    std::printf("ok\n");
+    return 0;
+}
+"""
+
+
+def test_sharded_write_reference_reads(tmp_path):
+    """A checkpoint written shard-by-shard from an 8-device mesh is a plain
+    S3T file the reference implementation loads and checksum-verifies."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from superbblas_tpu import parallel as par
+
+    mesh = par.make_mesh({"X": 4, "Y": 2})
+    xg = (np.arange(48) * 1.5).reshape(8, 6)
+    x = jax.device_put(jnp.asarray(xg), NamedSharding(mesh, P("X", "Y")))
+
+    f = tmp_path / "sharded.s3t"
+    sto = S.create_storage(str(f), "xy", (8, 6), dtype=np.float64,
+                           checksum=2)
+    S.save_sharded(sto, x, "xy")
+    S.close_storage(sto)
+
+    exe = _compile(tmp_path, "reader_sharded", READER_SHARDED, f)
+    out = subprocess.run([str(exe)], capture_output=True, text=True,
+                         timeout=60)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+    assert "ok" in out.stdout
