@@ -16,6 +16,7 @@ from .clover import (
     wilson_clover_operator,
 )
 from .even_odd import checkerboard_masks, eo_solve, schur_matvec
+from .coarse import apply_coarse, coarse_operator
 
 __all__ = [
     "adjoint_operator",
@@ -36,4 +37,6 @@ __all__ = [
     "checkerboard_masks",
     "eo_solve",
     "schur_matvec",
+    "apply_coarse",
+    "coarse_operator",
 ]

@@ -12,6 +12,7 @@ from .dist import contraction, copy, reshard
 from .halo import crop_halos, exchange_halos
 from .overlap import bsr_krylov_overlap
 from .powers import bsr_krylov_ca
+from .multihost import initialize_distributed, make_multihost_mesh
 from .redistribute import (
     make_plan,
     pack_global,
@@ -37,6 +38,8 @@ __all__ = [
     "exchange_halos",
     "bsr_krylov_overlap",
     "bsr_krylov_ca",
+    "initialize_distributed",
+    "make_multihost_mesh",
     "make_plan",
     "pack_global",
     "redistribute_explicit",

@@ -1,0 +1,89 @@
+"""Multi-host setup: DCN-aware meshes and process initialization.
+
+The reference distributes over MPI ranks (MpiComm, dist.h:126-138) and
+leaves topology to mpirun.  TPU-native, multi-host means one jax process
+per host, all local chips in one global mesh; intra-slice traffic rides
+ICI and cross-host traffic rides DCN, so mesh-axis ORDER matters: axes
+that carry the heavy collectives (contraction psums, halo permutes) must
+map to ICI.  ``make_multihost_mesh`` uses jax's topology-aware device
+ordering to get that right, with lattice labels as axis names like
+``mesh.make_mesh``.
+
+Single-process (tests, one host) the same helpers degrade gracefully to
+the local device set.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["initialize_distributed", "make_multihost_mesh"]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the jax distributed runtime (the mpirun/MPI_Init analog).
+
+    On Cloud TPU all arguments are discovered from the metadata server;
+    pass them explicitly elsewhere.  Idempotent: safe to call when the
+    runtime is already initialized or the job is single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower() or jax.process_count() == 1:
+            return
+        raise
+
+
+def make_multihost_mesh(
+    axis_sizes: Dict[str, int],
+    dcn_axis: Optional[str] = None,
+) -> Mesh:
+    """Global mesh over ALL processes' devices with labeled axes.
+
+    ``axis_sizes``: label -> extent (product must equal the global device
+    count).  ``dcn_axis`` names the axis that crosses hosts (usually the
+    data/domain-parallel one); it is mapped to the slowest (cross-host)
+    dimension of the topology-aware device ordering, keeping the other
+    axes on ICI — the analog of the reference putting the outermost
+    lattice label on the node grid (dist.h:3265-3383).
+    """
+    from jax.experimental import mesh_utils
+
+    names = list(axis_sizes.keys())
+    shape = [axis_sizes[n] for n in names]
+    n = int(np.prod(shape))
+    if n != len(jax.devices()):
+        raise ValueError(
+            f"mesh volume {n} != global device count {len(jax.devices())}")
+
+    if dcn_axis is not None and jax.process_count() > 1:
+        if dcn_axis not in axis_sizes:
+            raise ValueError(f"dcn_axis {dcn_axis!r} not in axis_sizes")
+        per_host = [1] * len(names)
+        dcn = [1] * len(names)
+        nproc = jax.process_count()
+        if axis_sizes[dcn_axis] % nproc:
+            raise ValueError(
+                f"dcn axis {dcn_axis!r} ({axis_sizes[dcn_axis]}) must be a "
+                f"multiple of the process count ({nproc})")
+        dcn[names.index(dcn_axis)] = nproc
+        for i, nm in enumerate(names):
+            per_host[i] = axis_sizes[nm] // dcn[i]
+        devices = mesh_utils.create_hybrid_device_mesh(
+            per_host, dcn, devices=jax.devices())
+    else:
+        devices = mesh_utils.create_device_mesh(shape, devices=jax.devices())
+    return Mesh(devices, axis_names=tuple(names))

@@ -138,3 +138,37 @@ def test_eo_solve_residual():
     rel = np.sqrt((dre ** 2 + dim_ ** 2).sum()
                   / (np.asarray(b.re) ** 2 + np.asarray(b.im) ** 2).sum())
     assert rel < 1e-8, rel
+
+
+def test_coarse_operator_hermitian_and_sharded():
+    """Coarse operator: Hermitian by construction; matvec agrees between
+    dense numpy and the stencil path, replicated or lattice-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from superbblas_tpu import parallel as par
+    from superbblas_tpu.models import apply_coarse, coarse_operator
+
+    lat, nc = (4, 4), 8
+    op = coarse_operator(lat, block_size=nc, mass=0.2, key=3,
+                         dtype=jnp.complex128)
+    D = materialize(lambda x: apply_coarse(op, x), lat, (nc,))
+    np.testing.assert_allclose(D, D.conj().T, atol=1e-12)
+
+    rng = np.random.default_rng(1)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, 3))),
+                    jnp.asarray(rng.standard_normal(lat + (nc, 3))))
+    y0 = apply_coarse(op, x)
+    mesh = par.make_mesh({"X": 4, "Y": 2})
+    xs = jax.device_put(x, NamedSharding(mesh, P("X", "Y", None, None)))
+    y1 = apply_coarse(op, xs)
+    np.testing.assert_allclose(np.asarray(y1.re), np.asarray(y0.re),
+                               atol=1e-12)
+
+
+def test_multihost_mesh_single_process():
+    from superbblas_tpu.parallel import make_multihost_mesh
+
+    mesh = make_multihost_mesh({"x": 4, "n": 2})
+    assert mesh.shape == {"x": 4, "n": 2}
+    with pytest.raises(ValueError, match="device count"):
+        make_multihost_mesh({"x": 16})
