@@ -301,3 +301,190 @@ def soa_to_aos(y: cplx.CArray, nlat: int, ki: int, bi: int) -> cplx.CArray:
         perm = tuple(range(3, 3 + nlat)) + (1, 2, 0)
         return jnp.transpose(a, perm)
     return cplx.cmap(t, y)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: full X inside the block (X shifts are in-VMEM concats)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel grids over X and fetches the x-1/x/x+1 planes as three
+# BlockSpecs, so x is read ~3x from HBM per matvec.  Keeping the whole X
+# axis inside the block turns the X neighbor fetch into a VMEM
+# concatenation: HBM x-traffic drops to (1 + 2/Yc)x (only the y-boundary
+# rows repeat).
+#
+# MEASURED (v5e, Wilson 8x8x16x128, 8 rhs): v2 peaks at 3.5 TF/s
+# (nc=4, Yc=1) vs v1's 4.6 TF/s in the same harness — the theoretical
+# 1.4x traffic saving is eaten by worse Mosaic scheduling of the
+# full-X blocks (coarser grid -> weaker DMA/compute pipelining; several
+# (nc, Yc) points crash the compiler outright).  v1 therefore remains
+# the production path unconditionally; this variant is kept as a
+# correct, tested alternative for future re-evaluation on newer
+# toolchains.
+
+
+def _kernel_xin(kron_re, kron_im,      # SMEM [ndir, KI, KD]
+                b_re, b_im,            # [ndir, BI*BD, X, Yc, Z, T]
+                xc_re, xc_im,          # [nc, F, X, Yc, Z, T]
+                yp_re, yp_im,          # [nc, F, X, 1, Z, T]
+                ym_re, ym_im,
+                o_re, o_im,            # out [nc, KO, X, Yc, Z, T]
+                *, offsets, BI, BD, KI, KD, X, Yc, Z, T, nc):
+
+    xc = (xc_re[...], xc_im[...])      # [nc, F, X, Yc, Z, T]
+
+    def shifted(d):
+        ax, sgn = _axis_of(offsets[d])
+        if ax == -1:
+            return xc
+        if ax == 0:
+            # toroidal within the full in-block X axis
+            if sgn > 0:
+                cat = lambda c: jnp.concatenate([c[:, :, 1:], c[:, :, :1]],
+                                                axis=2)
+            else:
+                cat = lambda c: jnp.concatenate([c[:, :, -1:], c[:, :, :-1]],
+                                                axis=2)
+            return (cat(xc[0]), cat(xc[1]))
+        if ax == 1:
+            if Yc == 1:
+                src = (yp_re, yp_im) if sgn > 0 else (ym_re, ym_im)
+                return (src[0][...], src[1][...])
+            if sgn > 0:
+                def cat(c, b):
+                    return jnp.concatenate([c[:, :, :, 1:], b], axis=3)
+                return (cat(xc[0], yp_re[...]), cat(xc[1], yp_im[...]))
+            def cat(c, b):
+                return jnp.concatenate([b, c[:, :, :, :Yc - 1]], axis=3)
+            return (cat(xc[0], ym_re[...]), cat(xc[1], ym_im[...]))
+        if ax == 2:
+            sh = (Z - 1) if sgn > 0 else 1
+            return (pltpu.roll(xc[0], sh, 4), pltpu.roll(xc[1], sh, 4))
+        sh = (T - 1) if sgn > 0 else 1
+        return (pltpu.roll(xc[0], sh, 5), pltpu.roll(xc[1], sh, 5))
+
+    ndir = len(offsets)
+    acc = [[None] * BI for _ in range(KI)]
+    for d in range(ndir):
+        xs_re, xs_im = shifted(d)
+        for sp in range(KI):
+            zrows = []
+            for j in range(BD):
+                zre = zim = None
+                for s in range(KD):
+                    kr = kron_re[d, sp, s]
+                    ki_ = kron_im[d, sp, s]
+                    f = s * BD + j
+                    xr = xs_re[:, f]
+                    xi = xs_im[:, f]
+                    tre = kr * xr - ki_ * xi
+                    tim = kr * xi + ki_ * xr
+                    zre = tre if zre is None else zre + tre
+                    zim = tim if zim is None else zim + tim
+                zrows.append((zre, zim))
+            for i in range(BI):
+                for j in range(BD):
+                    br = b_re[d, i * BD + j]      # [X, Yc, Z, T]
+                    bi_ = b_im[d, i * BD + j]
+                    zre, zim = zrows[j]
+                    tre = zre * br - zim * bi_
+                    tim = zre * bi_ + zim * br
+                    if acc[sp][i] is None:
+                        acc[sp][i] = (tre, tim)
+                    else:
+                        a0, a1 = acc[sp][i]
+                        acc[sp][i] = (a0 + tre, a1 + tim)
+
+    for sp in range(KI):
+        for i in range(BI):
+            o_re[:, sp * BI + i] = acc[sp][i][0]
+            o_im[:, sp * BI + i] = acc[sp][i][1]
+
+
+def _pick_chunks_xin(n, X, Y, F, KO, BI, BD, Z, T, ndir,
+                     vmem_budget=64 * 2 ** 20):
+    """(nc, Yc) for the X-inside kernel, or None if nothing fits."""
+    def bytes_for(nc, Yc):
+        site = X * Z * T * 4
+        x = (Yc + 2) * F * nc * site * 2
+        blk = ndir * BI * BD * Yc * site * 2
+        y = KO * nc * Yc * site * 2
+        return (x + blk) * 2 + y * 2
+
+    best = None
+    for Yc in [y for y in (4, 2, 1) if Y % y == 0]:
+        for nc in [c for c in (8, 4, 2, 1) if n % c == 0]:
+            if bytes_for(nc, Yc) <= vmem_budget:
+                # prefer larger Yc (amortizes y-rows), then larger nc
+                if best is None or (Yc, nc) > best:
+                    best = (Yc, nc)
+    return None if best is None else (best[1], best[0])
+
+
+def stencil_matvec_soa_xin(
+    blocks: cplx.CArray,
+    kron: Optional[cplx.CArray],
+    x: cplx.CArray,
+    offsets: Sequence[Tuple[int, ...]],
+    bi: int, bd: int,
+    interpret: bool = False,
+) -> cplx.CArray:
+    """X-inside variant of :func:`stencil_matvec_soa` (same contract)."""
+    ndir, FB = blocks.shape[0], blocks.shape[1]
+    X, Y, Z, T = blocks.shape[2:]
+    n = x.shape[0]
+    if kron is None:
+        kron = cplx.CArray(jnp.ones((ndir, 1, 1), blocks.dtype),
+                           jnp.zeros((ndir, 1, 1), blocks.dtype))
+    KI, KD = kron.shape[1], kron.shape[2]
+    F = KD * bd
+    KO = KI * bi
+    assert FB == bi * bd and x.shape[1] == F
+
+    picked = _pick_chunks_xin(n, X, Y, F, KO, bi, bd, Z, T, ndir)
+    if picked is None:
+        raise ValueError("no (nc, Yc) fits VMEM for the X-inside kernel")
+    nc, Yc = picked
+    grid = (Y // Yc, n // nc)
+
+    xspec = pl.BlockSpec((nc, F, X, Yc, Z, T),
+                         lambda iy, inn: (inn, 0, 0, iy, 0, 0))
+    yp = pl.BlockSpec((nc, F, X, 1, Z, T),
+                      lambda iy, inn, Y=Y, Yc=Yc: (inn, 0, 0,
+                                                   (iy * Yc + Yc) % Y, 0, 0))
+    ym = pl.BlockSpec((nc, F, X, 1, Z, T),
+                      lambda iy, inn, Y=Y, Yc=Yc: (inn, 0, 0,
+                                                   (iy * Yc - 1) % Y, 0, 0))
+    bspec = pl.BlockSpec((ndir, FB, X, Yc, Z, T),
+                         lambda iy, inn: (0, 0, 0, iy, 0, 0))
+    kspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ospec = pl.BlockSpec((nc, KO, X, Yc, Z, T),
+                         lambda iy, inn: (inn, 0, 0, iy, 0, 0))
+
+    kern = functools.partial(
+        _kernel_xin, offsets=tuple(tuple(o) for o in offsets),
+        BI=bi, BD=bd, KI=KI, KD=KD, X=X, Yc=Yc, Z=Z, T=T, nc=nc,
+    )
+    flops = 4 * 2 * n * X * Y * Z * T * ndir * (KI * KD * bd + bi * bd)
+    o_re, o_im = pl.pallas_call(
+        kern,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        in_specs=[kspec, kspec, bspec, bspec,
+                  xspec, xspec, yp, yp, ym, ym],
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),
+            jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(blocks.size + 2 * x.size) * 2 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(kron.re, kron.im, blocks.re, blocks.im,
+      x.re, x.im, x.re, x.im, x.re, x.im)
+    return cplx.CArray(o_re, o_im)

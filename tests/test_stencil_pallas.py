@@ -60,3 +60,34 @@ def test_eligibility():
     assert not SP.soa_eligible(offs, (4, 4, 4, 100), 3, 3, 4, 4)  # T%128
     assert not SP.soa_eligible([(0, 0, 0, 2)], LAT, 3, 3, 4, 4)   # offset 2
     assert not SP.soa_eligible(offs, (4, 4, 4), 3, 3, 1, 1)       # 3D
+
+
+def test_xin_variant_matches_reference():
+    """The X-inside kernel variant (experimental) stays correct."""
+    import numpy as np
+    from superbblas_tpu import cplx
+    from superbblas_tpu.ops.stencil_pallas import (
+        stencil_matvec_soa_reference,
+        stencil_matvec_soa_xin,
+    )
+
+    rng = np.random.default_rng(0)
+    lat = (4, 4, 8, 128)
+    bi = bd = 3
+    KI = KD = 4
+
+    def carr(shape):
+        return cplx.CArray(
+            jnp.asarray(rng.standard_normal(shape), jnp.float32),
+            jnp.asarray(rng.standard_normal(shape), jnp.float32))
+
+    offs = [(0, 0, 0, 0)] + [
+        tuple(s if a == mu else 0 for a in range(4))
+        for mu in range(4) for s in (1, -1)]
+    blocks = carr((9, bi * bd) + lat)
+    kron = carr((9, KI, KD))
+    x = carr((2, KD * bd) + lat)
+    y = stencil_matvec_soa_xin(blocks, kron, x, offs, bi, bd, interpret=True)
+    r = stencil_matvec_soa_reference(blocks, kron, x, offs, bi, bd)
+    assert float(jnp.max(jnp.abs(y.re - r.re))) < 1e-4
+    assert float(jnp.max(jnp.abs(y.im - r.im))) < 1e-4
