@@ -42,6 +42,7 @@ import numpy as np
 from . import cplx
 from .labels import Coor, check_order, volume
 from .ops.copy import local_permute
+from .utils.tracker import tracked as _tracked
 
 
 def _idx(a, index):
@@ -486,6 +487,11 @@ def _apply_gather(op: BSROperator, xc: jax.Array) -> jax.Array:
     return _reshape(y, op.dim_i + (y.shape[-2], N)).astype(xc.dtype)
 
 
+@_tracked("apply_stencil_soa",
+          flops_fn=lambda out, op, x_soa, *a, **k:
+          op.flops_per_matvec(x_soa.shape[0], True),
+          memops_fn=lambda out, op, x_soa, *a, **k:
+          op.memops_per_matvec(x_soa.shape[0], 8))
 def apply_stencil_soa(op: BSROperator, x_soa: cplx.CArray,
                       interpret: Optional[bool] = None) -> cplx.CArray:
     """Hot path: SoA stencil matvec through the Pallas kernel.
@@ -522,6 +528,16 @@ def _acc_dtype(dt):
     return dt
 
 
+def _bsr_flops(out, alpha, op, x, ox, *a, **k):
+    cols = "".join(c for c in ox if c not in op.lat_d + op.kron_d + op.blk_d)
+    ncols = 1
+    for c in cols:
+        ncols *= x.shape[ox.index(c)]
+    power = k.get("power", 1)
+    return op.flops_per_matvec(ncols, cplx.is_carray(op.blocks)) * power
+
+
+@_tracked("bsr_krylov", flops_fn=_bsr_flops)
 def bsr_krylov(
     alpha,
     op: BSROperator,

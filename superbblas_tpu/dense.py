@@ -102,6 +102,10 @@ def _hermitian_transpose(mat):
 # ---------------------------------------------------------------------------
 
 
+from .utils.tracker import tracked as _tracked
+
+
+@_tracked("cholesky")
 def cholesky(v, o: str, orows: str, ocols: str):
     """Batched Cholesky factorization (public cholesky, dense.h:1020/1161).
 
@@ -119,6 +123,7 @@ def cholesky(v, o: str, orows: str, ocols: str):
     return restore(_hermitian_transpose(low))
 
 
+@_tracked("trsm")
 def trsm(alpha, c, oc: str, orows: str, ocols: str, x, ox: str, oy: str):
     """Batched triangular solve (public trsm, dense.h:1055).
 
@@ -170,6 +175,7 @@ def trsm(alpha, c, oc: str, orows: str, ocols: str, x, ox: str, oy: str):
     return local_permute(out, canon_y, oy)
 
 
+@_tracked("gesm")
 def gesm(alpha, a, oa: str, orows: str, ocols: str, x, ox: str, oy: str):
     """Batched general solve (public gesm, dense.h:1099): y with
     A[rows, cols] y[cols, ...] = alpha x[rows, ...] via LU."""
@@ -209,6 +215,7 @@ def gesm(alpha, a, oa: str, orows: str, ocols: str, x, ox: str, oy: str):
     return local_permute(out, canon_y, oy)
 
 
+@_tracked("inversion")
 def inversion(v, o: str, orows: str, ocols: str):
     """Batched matrix inversion (public inversion, dense.h:1134)."""
     mat, restore = _matrix_view(v, o, orows, ocols)

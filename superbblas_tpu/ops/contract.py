@@ -39,6 +39,10 @@ def _accum_type(dt):
     return dt
 
 
+from ..utils.tracker import tracked as _tracked
+
+
+@_tracked("local_contraction")
 def local_contraction(
     alpha,
     x0: jax.Array,

@@ -87,6 +87,12 @@ def _copy_jit(alpha, x, y, *, o0, o1, from0, size0, from1, copy_add, out_shardin
     return _constrain(out, out_sharding)
 
 
+from ..utils.tracker import tracked as _tracked
+
+
+@_tracked("dist_copy",
+          memops_fn=lambda out, alpha, x, *a, **k:
+          2 * out.size * out.dtype.itemsize)
 def copy(
     alpha,
     x: jax.Array,
@@ -153,6 +159,7 @@ def _contraction_jit_nor(alpha, x0, x1, *, o0, conj0, o1, conj1, o_r, dimr,
     return _constrain(out, out_sharding)
 
 
+@_tracked("dist_contraction")
 def contraction(
     alpha,
     x0: jax.Array,

@@ -31,8 +31,8 @@ import jax
 
 from .. import flags
 
-__all__ = ["track", "get_timings", "reset_timings", "report_timings",
-           "report_memory_usage"]
+__all__ = ["track", "tracked", "get_timings", "reset_timings",
+           "report_timings", "report_memory_usage"]
 
 
 @dataclass
@@ -85,6 +85,42 @@ def track(name: str, flops: float = 0.0, memops: float = 0.0,
             st.seconds += dt
             st.flops += flops
             st.memops += memops
+
+
+def tracked(name: str, flops_fn=None, memops_fn=None):
+    """Decorator instrumenting a public op with a tracker scope.
+
+    Zero overhead unless SBT_TRACK_TIME=1.  When enabled, the scope
+    blocks on the op's outputs so the recorded time is execution, not
+    dispatch (the reference records GPU event pairs the same way,
+    performance.h:282-330).  ``flops_fn(out, *args, **kwargs)`` supplies
+    the flop attribution."""
+    import functools as _ft
+
+    def deco(fn):
+        @_ft.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if not flags.get_track_time():
+                return fn(*args, **kwargs)
+            fl = mem = 0.0
+            out = None
+            t = track(name)
+            with t:
+                out = fn(*args, **kwargs)
+                jax.block_until_ready(out)
+            if flops_fn is not None or memops_fn is not None:
+                try:
+                    fl = float(flops_fn(out, *args, **kwargs)) if flops_fn else 0.0
+                    mem = float(memops_fn(out, *args, **kwargs)) if memops_fn else 0.0
+                except Exception:
+                    fl = mem = 0.0
+                with _lock:
+                    st = _stats.setdefault(name, _PathStats())
+                    st.flops += fl
+                    st.memops += mem
+            return out
+        return wrapper
+    return deco
 
 
 def get_timings() -> Dict[str, dict]:

@@ -85,3 +85,27 @@ def test_cache_report_and_clear(capsys):
     clear_caches()
     stats = report_cache_usage()
     assert stats["redistribution_plans"]["entries"] == 0
+
+
+def test_tracked_ops_record(monkeypatch):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superbblas_tpu import bsr as B, flags
+    from superbblas_tpu.utils import get_timings, report_timings, reset_timings
+
+    monkeypatch.setenv("SBT_TRACK_TIME", "1")
+    flags.clear_cache()
+    try:
+        reset_timings()
+        from test_bsr import make_stencil_op
+
+        op, _, _ = make_stencil_op((4, 4), 2, 2)
+        B.bsr_krylov(1.0, op, jnp.ones((4, 4, 2, 3)), "XYsn")
+        t = get_timings()
+        assert t["bsr_krylov"]["calls"] == 1
+        assert t["bsr_krylov"]["flops"] > 0
+        rep = report_timings()
+        assert "bsr_krylov" in rep
+    finally:
+        flags.clear_cache()
