@@ -26,6 +26,13 @@ mirroring the flop saving of the reference's kron path.
 
 Complex arithmetic is split (re, im) throughout: 4 real multiplies per
 complex multiply on the VPU.
+
+Mixed precision: operands may be stored bf16 (HBM capacity: 2x bigger
+lattices); loads are converted and all arithmetic accumulates in f32.
+Measured on v5e the bf16 path is ~25% SLOWER than f32 (conversion ops
+dominate; native bf16 arithmetic is blocked by Mosaic's 32-bit-only
+vector rotate), so it is a capacity option, not a speed one, on the
+current toolchain.
 """
 
 from __future__ import annotations
@@ -85,8 +92,11 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
             *, offsets, BI, BD, KI, KD, Yc, Z, T, nc):
 
     def full(ref):
-        return ref[:, :, 0]          # [nc, F, Yc, Z, T]
+        # loads cast to f32: operands may be stored bf16 (mixed-precision
+        # inner solves halve HBM traffic); accumulation is always f32
+        return ref[:, :, 0].astype(jnp.float32)   # [nc, F, Yc, Z, T]
 
+    out_dt = o_re.dtype
     xc = (full(xc_re), full(xc_im))
 
     def shifted(d):
@@ -99,13 +109,19 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
                   (full(xm_re), full(xm_im))
             return src
         if ax == 1:
+            if Yc == 1:
+                src = (yp_re, yp_im) if sgn > 0 else (ym_re, ym_im)
+                return (src[0][:, :, 0].astype(jnp.float32),
+                        src[1][:, :, 0].astype(jnp.float32))
             if sgn > 0:
                 # rows 1..Yc-1 of center + the y+ boundary row
                 def cat(c, b):
-                    return jnp.concatenate([c[:, :, 1:], b[:, :, 0]], axis=2)
+                    return jnp.concatenate(
+                        [c[:, :, 1:], b[:, :, 0].astype(jnp.float32)], axis=2)
                 return (cat(xc[0], yp_re), cat(xc[1], yp_im))
             def cat(c, b):
-                return jnp.concatenate([b[:, :, 0], c[:, :, :Yc - 1]], axis=2)
+                return jnp.concatenate(
+                    [b[:, :, 0].astype(jnp.float32), c[:, :, :Yc - 1]], axis=2)
             return (cat(xc[0], ym_re), cat(xc[1], ym_im))
         if ax == 2:
             sh = (Z - 1) if sgn > 0 else 1
@@ -136,8 +152,8 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
             # color multiply: y[sp, i] += sum_j A[d, i, j] z[sp, j]
             for i in range(BI):
                 for j in range(BD):
-                    br = b_re[d, i * BD + j, 0]   # [Yc, Z, T]
-                    bi_ = b_im[d, i * BD + j, 0]
+                    br = b_re[d, i * BD + j, 0].astype(jnp.float32)
+                    bi_ = b_im[d, i * BD + j, 0].astype(jnp.float32)
                     zre, zim = zrows[j]
                     tre = zre * br - zim * bi_
                     tim = zre * bi_ + zim * br
@@ -149,14 +165,15 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
 
     for sp in range(KI):
         for i in range(BI):
-            o_re[:, sp * BI + i, 0] = acc[sp][i][0]
-            o_im[:, sp * BI + i, 0] = acc[sp][i][1]
+            o_re[:, sp * BI + i, 0] = acc[sp][i][0].astype(out_dt)
+            o_im[:, sp * BI + i, 0] = acc[sp][i][1].astype(out_dt)
 
 
-def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=10 * 2 ** 20):
+def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=10 * 2 ** 20,
+                 itemsize=4):
     """Choose (nc, Yc) fitting the VMEM budget (with double buffering)."""
     def bytes_for(nc, Yc):
-        site = Z * T * 4
+        site = Z * T * itemsize
         x = (3 * Yc + 2) * F * nc * site * 2          # 5 specs, re+im
         blk = ndir * BI * BD * Yc * site * 2
         y = KO * nc * Yc * site * 2
@@ -182,8 +199,11 @@ def stencil_matvec_soa(
     X, Y, Z, T = blocks.shape[2:]
     n = x.shape[0]
     if kron is None:
-        kron = cplx.CArray(jnp.ones((ndir, 1, 1), blocks.dtype),
-                           jnp.zeros((ndir, 1, 1), blocks.dtype))
+        kron = cplx.CArray(jnp.ones((ndir, 1, 1), jnp.float32),
+                           jnp.zeros((ndir, 1, 1), jnp.float32))
+    # kron scalars live in SMEM and multiply f32-converted operands:
+    # always f32 regardless of the (possibly bf16) storage dtype
+    kron = cplx.cmap(lambda a: a.astype(jnp.float32), kron)
     KI, KD = kron.shape[1], kron.shape[2]
     F = KD * bd
     KO = KI * bi
@@ -230,6 +250,7 @@ def stencil_matvec_soa(
     o_re, o_im = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         in_specs=[kspec, kspec, bspec, bspec,
                   xspec, xspec, xp, xp, xm, xm, yp, yp, ym, ym],
         out_specs=(ospec, ospec),

@@ -91,3 +91,34 @@ def test_xin_variant_matches_reference():
     r = stencil_matvec_soa_reference(blocks, kron, x, offs, bi, bd)
     assert float(jnp.max(jnp.abs(y.re - r.re))) < 1e-4
     assert float(jnp.max(jnp.abs(y.im - r.im))) < 1e-4
+
+
+def test_bf16_storage_path():
+    """bf16-stored operands accumulate in f32; error ~ input rounding."""
+    import numpy as np
+    from superbblas_tpu import cplx
+    from superbblas_tpu.ops.stencil_pallas import (
+        stencil_matvec_soa,
+        stencil_matvec_soa_reference,
+    )
+
+    rng = np.random.default_rng(2)
+    lat = (4, 4, 8, 128)
+
+    def carr(shape, dt):
+        return cplx.CArray(jnp.asarray(rng.standard_normal(shape), dt),
+                           jnp.asarray(rng.standard_normal(shape), dt))
+
+    offs = [(0, 0, 0, 0)] + [
+        tuple(s if a == mu else 0 for a in range(4))
+        for mu in range(4) for s in (1, -1)]
+    b = carr((9, 9) + lat, jnp.float32)
+    k = carr((9, 4, 4), jnp.float32)
+    x = carr((2, 12) + lat, jnp.float32)
+    ref = stencil_matvec_soa_reference(b, k, x, offs, 3, 3)
+    tob = lambda c: cplx.cmap(lambda a: a.astype(jnp.bfloat16), c)
+    y = stencil_matvec_soa(tob(b), k, tob(x), offs, 3, 3, interpret=True)
+    assert y.re.dtype == jnp.bfloat16
+    rel = float(jnp.max(jnp.abs(y.re.astype(jnp.float32) - ref.re))
+                / jnp.max(jnp.abs(ref.re)))
+    assert rel < 0.05, rel
