@@ -121,6 +121,8 @@ class BSROperator:
 
     @property
     def ndir(self) -> int:
+        if self.mode == "stencil_soa":
+            return self.blocks.shape[0]   # SoA layout [ndir, BI*BD, *lat]
         return self.blocks.shape[len(self.dim_i)]
 
     # -- pytree protocol: array leaves + hashable metadata, so operators

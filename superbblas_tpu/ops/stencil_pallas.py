@@ -54,6 +54,50 @@ __all__ = ["stencil_matvec_soa", "stencil_matvec_soa_reference",
            "soa_eligible", "aos_to_soa", "soa_to_aos"]
 
 
+def _factor_kron(kre, kim):
+    """Per-direction compile-time spin-factor plan, or None for tracers.
+
+    For a CONCRETE kron factor the scalar entries become Python constants
+    folded into the kernel (zeros vanish, +-1/+-i become adds), and rank-
+    deficient factors are split K_d = R_d P_d so the color multiply runs
+    on rank(K_d) spin slots — the half-spinor projection trick (Wilson
+    hopping factors r +- gamma_mu have rank 2 at r = 1, halving the color
+    FLOPs).  Reference analog: the CSR classification of kron blocks,
+    bsr.h:106-247."""
+    if isinstance(kre, jax.core.Tracer) or isinstance(kim, jax.core.Tracer):
+        return None
+    K = np.asarray(kre).astype(np.float64) + 1j * np.asarray(kim)
+    ndir, KI, KD = K.shape
+
+    def rows_of(M, tol=1e-12):
+        return tuple(
+            tuple((s, float(M[r, s].real), float(M[r, s].imag))
+                  for s in range(M.shape[1]) if abs(M[r, s]) > tol)
+            for r in range(M.shape[0]))
+
+    specs = []
+    for d in range(ndir):
+        Kd = K[d]
+        idx = []
+        for r in range(KI):
+            cand = Kd[idx + [r]]
+            if np.linalg.matrix_rank(cand, tol=1e-9) > len(idx):
+                idx.append(r)
+        rank = len(idx)
+        if 0 < rank < KI:
+            P = Kd[idx]
+            R = Kd @ np.linalg.pinv(P)
+            R[np.abs(R) < 1e-10] = 0.0
+            # snap near-integers (gamma algebra produces exact +-1/+-i)
+            R = np.where(np.abs(R - np.round(R.real) - 1j * np.round(R.imag))
+                         < 1e-9, np.round(R.real) + 1j * np.round(R.imag), R)
+            if np.allclose(R @ P, Kd, atol=1e-10):
+                specs.append(("factored", rows_of(P), rows_of(R)))
+                continue
+        specs.append(("direct", rows_of(Kd)))
+    return tuple(specs)
+
+
 def _axis_of(off) -> Tuple[int, int]:
     """(axis, sign) of a one-hot +-1 offset; (-1, 0) for the center."""
     nz = [(ax, o) for ax, o in enumerate(off) if o != 0]
@@ -81,7 +125,121 @@ def soa_eligible(offsets, dim_lat, bi, bd, ki, kd) -> bool:
     return True
 
 
-def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
+def _smul(c, v):
+    if c == 1.0:
+        return v
+    if c == -1.0:
+        return -v
+    return c * v
+
+
+def _cacc(acc, cre, cim, xr, xi):
+    """acc += (cre + i cim) * (xr + i xi) with the scalar constants folded
+    at kernel-build time: zeros vanish, +-1 become adds/negations (the
+    gamma-matrix entries are all 0, +-1, +-i)."""
+    if cre == 0.0 and cim == 0.0:
+        return acc
+    if cim == 0.0:
+        tre, tim = _smul(cre, xr), _smul(cre, xi)
+    elif cre == 0.0:
+        tre, tim = _smul(-cim, xi), _smul(cim, xr)
+    else:
+        tre = _smul(cre, xr) - _smul(cim, xi)
+        tim = _smul(cre, xi) + _smul(cim, xr)
+    if acc is None:
+        return (tre, tim)
+    return (acc[0] + tre, acc[1] + tim)
+
+
+def _matvec_body(shifted, bload, store, zero_like, kron_re, kron_im,
+                 *, ndir, BI, BD, KI, KD, kfact):
+    """Shared per-direction stencil math for all kernel variants.
+
+    ``shifted(d)`` -> (xs_re, xs_im) feature-indexed [:, f] operands;
+    ``bload(d, i, j)`` -> (br, bi) color-block planes; ``store(sp, i,
+    (re, im))`` writes an output row; ``zero_like()`` supplies a zero
+    plane for structurally-empty rows."""
+
+    acc = [[None] * BI for _ in range(KI)]
+
+    def color_rows(d, zrows):
+        t = [None] * BI
+        for i in range(BI):
+            for j in range(BD):
+                if zrows[j] is None:
+                    continue
+                br, bi_ = bload(d, i, j)
+                zre, zim = zrows[j]
+                tre = zre * br - zim * bi_
+                tim = zre * bi_ + zim * br
+                t[i] = (tre, tim) if t[i] is None else (t[i][0] + tre,
+                                                        t[i][1] + tim)
+        return t
+
+    for d in range(ndir):
+        xs_re, xs_im = shifted(d)
+
+        def spin_row(entries, j):
+            z = None
+            for (sidx, cre, cim) in entries:
+                f = sidx * BD + j
+                z = _cacc(z, cre, cim, xs_re[:, f], xs_im[:, f])
+            return z
+
+        spec = None if kfact is None else kfact[d]
+        if spec is None:
+            for sp in range(KI):
+                zrows = []
+                for j in range(BD):
+                    z = None
+                    for sidx in range(KD):
+                        kr = kron_re[d, sp, sidx]
+                        ki_ = kron_im[d, sp, sidx]
+                        f = sidx * BD + j
+                        xr = xs_re[:, f]
+                        xi = xs_im[:, f]
+                        tre = kr * xr - ki_ * xi
+                        tim = kr * xi + ki_ * xr
+                        z = (tre, tim) if z is None else (z[0] + tre,
+                                                          z[1] + tim)
+                    zrows.append(z)
+                for i, t in enumerate(color_rows(d, zrows)):
+                    if t is not None:
+                        acc[sp][i] = t if acc[sp][i] is None else (
+                            acc[sp][i][0] + t[0], acc[sp][i][1] + t[1])
+        elif spec[0] == "direct":
+            rows = spec[1]
+            for sp in range(KI):
+                zrows = [spin_row(rows[sp], j) for j in range(BD)]
+                for i, t in enumerate(color_rows(d, zrows)):
+                    if t is not None:
+                        acc[sp][i] = t if acc[sp][i] is None else (
+                            acc[sp][i][0] + t[0], acc[sp][i][1] + t[1])
+        else:
+            prows, rrows = spec[1], spec[2]
+            tslots = []
+            for c in range(len(prows)):
+                zrows = [spin_row(prows[c], j) for j in range(BD)]
+                tslots.append(color_rows(d, zrows))
+            for sp in range(KI):
+                for (c, cre, cim) in rrows[sp]:
+                    for i in range(BI):
+                        t = tslots[c][i]
+                        if t is not None:
+                            acc[sp][i] = _cacc(acc[sp][i], cre, cim,
+                                               t[0], t[1])
+
+    zero = None
+    for sp in range(KI):
+        for i in range(BI):
+            if acc[sp][i] is None:
+                if zero is None:
+                    zero = zero_like()
+                acc[sp][i] = (zero, zero)
+            store(sp, i, acc[sp][i])
+
+
+def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
             b_re, b_im,              # [ndir, BI*BD, 1, Yc, Z, T]
             xc_re, xc_im,            # [nc, F, 1, Yc, Z, T]
             xp_re, xp_im,
@@ -89,7 +247,7 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
             yp_re, yp_im,            # [nc, F, 1, 1, Z, T]
             ym_re, ym_im,
             o_re, o_im,              # out [nc, KO, 1, Yc, Z, T]
-            *, offsets, BI, BD, KI, KD, Yc, Z, T, nc):
+            *, offsets, BI, BD, KI, KD, Yc, Z, T, nc, kfact=None):
 
     def full(ref):
         # loads cast to f32: operands may be stored bf16 (mixed-precision
@@ -130,43 +288,18 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD]
         return (pltpu.roll(xc[0], sh, 4), pltpu.roll(xc[1], sh, 4))
 
     ndir = len(offsets)
-    acc = [[None] * BI for _ in range(KI)]
-    for d in range(ndir):
-        xs_re, xs_im = shifted(d)
-        # spin rotation first: z[sp, j] = sum_s K[d, sp, s] x[s, j]
-        for sp in range(KI):
-            zrows = []
-            for j in range(BD):
-                zre = zim = None
-                for s in range(KD):
-                    kr = kron_re[d, sp, s]
-                    ki_ = kron_im[d, sp, s]
-                    f = s * BD + j
-                    xr = xs_re[:, f]
-                    xi = xs_im[:, f]
-                    tre = kr * xr - ki_ * xi
-                    tim = kr * xi + ki_ * xr
-                    zre = tre if zre is None else zre + tre
-                    zim = tim if zim is None else zim + tim
-                zrows.append((zre, zim))
-            # color multiply: y[sp, i] += sum_j A[d, i, j] z[sp, j]
-            for i in range(BI):
-                for j in range(BD):
-                    br = b_re[d, i * BD + j, 0].astype(jnp.float32)
-                    bi_ = b_im[d, i * BD + j, 0].astype(jnp.float32)
-                    zre, zim = zrows[j]
-                    tre = zre * br - zim * bi_
-                    tim = zre * bi_ + zim * br
-                    if acc[sp][i] is None:
-                        acc[sp][i] = (tre, tim)
-                    else:
-                        a0, a1 = acc[sp][i]
-                        acc[sp][i] = (a0 + tre, a1 + tim)
-
-    for sp in range(KI):
-        for i in range(BI):
-            o_re[:, sp * BI + i, 0] = acc[sp][i][0].astype(out_dt)
-            o_im[:, sp * BI + i, 0] = acc[sp][i][1].astype(out_dt)
+    _matvec_body(
+        shifted,
+        lambda d, i, j: (b_re[d, i * BD + j, 0].astype(jnp.float32),
+                         b_im[d, i * BD + j, 0].astype(jnp.float32)),
+        lambda sp, i, v: (o_re.__setitem__((slice(None), sp * BI + i, 0),
+                                           v[0].astype(out_dt)),
+                          o_im.__setitem__((slice(None), sp * BI + i, 0),
+                                           v[1].astype(out_dt))),
+        lambda: jnp.zeros_like(xc[0][:, 0]),
+        kron_re, kron_im,
+        ndir=ndir, BI=BI, BD=BD, KI=KI, KD=KD, kfact=kfact,
+    )
 
 
 def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=10 * 2 ** 20,
@@ -245,6 +378,7 @@ def stencil_matvec_soa(
     kern = functools.partial(
         _kernel, offsets=tuple(tuple(o) for o in offsets),
         BI=bi, BD=bd, KI=KI, KD=KD, Yc=Yc, Z=Z, T=T, nc=nc,
+        kfact=_factor_kron(kron.re, kron.im),
     )
     flops = 4 * 2 * n * X * Y * Z * T * ndir * (KI * KD * bd + bi * bd)
     o_re, o_im = pl.pallas_call(
@@ -350,9 +484,10 @@ def _kernel_xin(kron_re, kron_im,      # SMEM [ndir, KI, KD]
                 yp_re, yp_im,          # [nc, F, X, 1, Z, T]
                 ym_re, ym_im,
                 o_re, o_im,            # out [nc, KO, X, Yc, Z, T]
-                *, offsets, BI, BD, KI, KD, X, Yc, Z, T, nc):
+                *, offsets, BI, BD, KI, KD, X, Yc, Z, T, nc, kfact=None):
 
-    xc = (xc_re[...], xc_im[...])      # [nc, F, X, Yc, Z, T]
+    out_dt = o_re.dtype
+    xc = (xc_re[...].astype(jnp.float32), xc_im[...].astype(jnp.float32))
 
     def shifted(d):
         ax, sgn = _axis_of(offsets[d])
@@ -370,56 +505,35 @@ def _kernel_xin(kron_re, kron_im,      # SMEM [ndir, KI, KD]
         if ax == 1:
             if Yc == 1:
                 src = (yp_re, yp_im) if sgn > 0 else (ym_re, ym_im)
-                return (src[0][...], src[1][...])
+                return (src[0][...].astype(jnp.float32),
+                        src[1][...].astype(jnp.float32))
             if sgn > 0:
                 def cat(c, b):
-                    return jnp.concatenate([c[:, :, :, 1:], b], axis=3)
-                return (cat(xc[0], yp_re[...]), cat(xc[1], yp_im[...]))
+                    return jnp.concatenate(
+                        [c[:, :, :, 1:], b[...].astype(jnp.float32)], axis=3)
+                return (cat(xc[0], yp_re), cat(xc[1], yp_im))
             def cat(c, b):
-                return jnp.concatenate([b, c[:, :, :, :Yc - 1]], axis=3)
-            return (cat(xc[0], ym_re[...]), cat(xc[1], ym_im[...]))
+                return jnp.concatenate(
+                    [b[...].astype(jnp.float32), c[:, :, :, :Yc - 1]], axis=3)
+            return (cat(xc[0], ym_re), cat(xc[1], ym_im))
         if ax == 2:
             sh = (Z - 1) if sgn > 0 else 1
             return (pltpu.roll(xc[0], sh, 4), pltpu.roll(xc[1], sh, 4))
         sh = (T - 1) if sgn > 0 else 1
         return (pltpu.roll(xc[0], sh, 5), pltpu.roll(xc[1], sh, 5))
 
-    ndir = len(offsets)
-    acc = [[None] * BI for _ in range(KI)]
-    for d in range(ndir):
-        xs_re, xs_im = shifted(d)
-        for sp in range(KI):
-            zrows = []
-            for j in range(BD):
-                zre = zim = None
-                for s in range(KD):
-                    kr = kron_re[d, sp, s]
-                    ki_ = kron_im[d, sp, s]
-                    f = s * BD + j
-                    xr = xs_re[:, f]
-                    xi = xs_im[:, f]
-                    tre = kr * xr - ki_ * xi
-                    tim = kr * xi + ki_ * xr
-                    zre = tre if zre is None else zre + tre
-                    zim = tim if zim is None else zim + tim
-                zrows.append((zre, zim))
-            for i in range(BI):
-                for j in range(BD):
-                    br = b_re[d, i * BD + j]      # [X, Yc, Z, T]
-                    bi_ = b_im[d, i * BD + j]
-                    zre, zim = zrows[j]
-                    tre = zre * br - zim * bi_
-                    tim = zre * bi_ + zim * br
-                    if acc[sp][i] is None:
-                        acc[sp][i] = (tre, tim)
-                    else:
-                        a0, a1 = acc[sp][i]
-                        acc[sp][i] = (a0 + tre, a1 + tim)
-
-    for sp in range(KI):
-        for i in range(BI):
-            o_re[:, sp * BI + i] = acc[sp][i][0]
-            o_im[:, sp * BI + i] = acc[sp][i][1]
+    _matvec_body(
+        shifted,
+        lambda d, i, j: (b_re[d, i * BD + j].astype(jnp.float32),
+                         b_im[d, i * BD + j].astype(jnp.float32)),
+        lambda sp, i, v: (o_re.__setitem__((slice(None), sp * BI + i),
+                                           v[0].astype(out_dt)),
+                          o_im.__setitem__((slice(None), sp * BI + i),
+                                           v[1].astype(out_dt))),
+        lambda: jnp.zeros_like(xc[0][:, 0]),
+        kron_re, kron_im,
+        ndir=len(offsets), BI=BI, BD=BD, KI=KI, KD=KD, kfact=kfact,
+    )
 
 
 def _pick_chunks_xin(n, X, Y, F, KO, BI, BD, Z, T, ndir,
@@ -485,6 +599,7 @@ def stencil_matvec_soa_xin(
     kern = functools.partial(
         _kernel_xin, offsets=tuple(tuple(o) for o in offsets),
         BI=bi, BD=bd, KI=KI, KD=KD, X=X, Yc=Yc, Z=Z, T=T, nc=nc,
+        kfact=_factor_kron(kron.re, kron.im),
     )
     flops = 4 * 2 * n * X * Y * Z * T * ndir * (KI * KD * bd + bi * bd)
     o_re, o_im = pl.pallas_call(
