@@ -293,6 +293,34 @@ def append_blocks(sto: Storage, boxes) -> None:
     f.flush()
 
 
+def _block_intersections(sto: Storage, frm, size):
+    """All (block, ifrom, isize) overlaps of the toroidal request box with
+    the declared blocks — the reference's GridHash spatial query
+    (storage.h:552-684).  Uses the native C++ batch intersection sweep
+    when available, else the Python box algebra."""
+    if not sto.blocks:
+        return
+    from . import native
+
+    rows = native.intersect_all(
+        [[frm, size]],
+        [[b.frm, b.size] for b in sto.blocks], sto.dim)
+    if rows is not None:
+        nd = sto.ndim
+        for r in rows:
+            isize = tuple(int(v) for v in r[2 + nd:2 + 2 * nd])
+            if volume(isize) == 0:
+                continue
+            yield (sto.blocks[int(r[1])],
+                   tuple(int(v) for v in r[2:2 + nd]), isize)
+        return
+    for blk in sto.blocks:
+        for ifrom, isize in intersect_box(frm, size, blk.frm, blk.size,
+                                          sto.dim):
+            if volume(isize):
+                yield blk, ifrom, isize
+
+
 def _to_numpy(x) -> np.ndarray:
     if cplx.is_carray(x):
         return np.asarray(cplx.to_complex(
@@ -344,22 +372,18 @@ def save(alpha, x, o0: str, sto: Storage, o1: str,
     src = _permute_np(src, o0, o1)
 
     covered = 0
-    for blk in sto.blocks:
-        for ifrom, isize in intersect_box(from1, size1, blk.frm, blk.size,
-                                          sto.dim):
-            if volume(isize) == 0:
-                continue
-            covered += volume(isize)
-            data = _read_block(sto, blk)
-            # offsets of the intersection inside the source box and block
-            src_off = tuple((f - g) % d for f, g, d in
-                            zip(ifrom, from1, sto.dim))
-            blk_off = tuple((f - g) % d for f, g, d in
-                            zip(ifrom, blk.frm, sto.dim))
-            sl_src = tuple(slice(o, o + s) for o, s in zip(src_off, isize))
-            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
-            data[sl_blk] = src[sl_src]
-            _write_block(sto, blk, data)
+    for blk, ifrom, isize in _block_intersections(sto, from1, size1):
+        covered += volume(isize)
+        data = _read_block(sto, blk)
+        # offsets of the intersection inside the source box and block
+        src_off = tuple((f - g) % d for f, g, d in
+                        zip(ifrom, from1, sto.dim))
+        blk_off = tuple((f - g) % d for f, g, d in
+                        zip(ifrom, blk.frm, sto.dim))
+        sl_src = tuple(slice(o, o + s) for o, s in zip(src_off, isize))
+        sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+        data[sl_blk] = src[sl_src]
+        _write_block(sto, blk, data)
     if covered < volume(size1):
         raise ValueError(
             "save: part of the requested region is not covered by any "
@@ -382,19 +406,15 @@ def load(alpha, sto: Storage, x, o1: str, o0: Optional[str] = None,
 
     # assemble the requested file region (in file order), then permute
     region = np.zeros(size0, dtype=sto.dtype)
-    for blk in sto.blocks:
-        for ifrom, isize in intersect_box(from0, size0, blk.frm, blk.size,
-                                          sto.dim):
-            if volume(isize) == 0:
-                continue
-            data = _read_block(sto, blk)
-            req_off = tuple((f - g) % d for f, g, d in
-                            zip(ifrom, from0, sto.dim))
-            blk_off = tuple((f - g) % d for f, g, d in
-                            zip(ifrom, blk.frm, sto.dim))
-            sl_req = tuple(slice(o, o + s) for o, s in zip(req_off, isize))
-            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
-            region[sl_req] = data[sl_blk]
+    for blk, ifrom, isize in _block_intersections(sto, from0, size0):
+        data = _read_block(sto, blk)
+        req_off = tuple((f - g) % d for f, g, d in
+                        zip(ifrom, from0, sto.dim))
+        blk_off = tuple((f - g) % d for f, g, d in
+                        zip(ifrom, blk.frm, sto.dim))
+        sl_req = tuple(slice(o, o + s) for o, s in zip(req_off, isize))
+        sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+        region[sl_req] = data[sl_blk]
 
     region = _permute_np(region, o0, o1)
     if alpha != 1:
@@ -596,18 +616,14 @@ def load_sharded(sto: Storage, sharding, dtype=None):
             (sl.stop if sl.stop is not None else d) - (sl.start or 0)
             for sl, d in zip(index, shape))
         out = np.zeros(size, dtype=sto.dtype)
-        for blk in sto.blocks:
-            for ifrom, isize in intersect_box(frm, size, blk.frm, blk.size,
-                                              sto.dim):
-                if volume(isize) == 0:
-                    continue
-                data = _read_block(sto, blk)
-                roff = tuple((f - g) % d for f, g, d in zip(ifrom, frm, sto.dim))
-                boff = tuple((f - g) % d for f, g, d in zip(ifrom, blk.frm,
-                                                            sto.dim))
-                sl_r = tuple(slice(a, a + s) for a, s in zip(roff, isize))
-                sl_b = tuple(slice(a, a + s) for a, s in zip(boff, isize))
-                out[sl_r] = data[sl_b]
+        for blk, ifrom, isize in _block_intersections(sto, frm, size):
+            data = _read_block(sto, blk)
+            roff = tuple((f - g) % d for f, g, d in zip(ifrom, frm, sto.dim))
+            boff = tuple((f - g) % d for f, g, d in zip(ifrom, blk.frm,
+                                                        sto.dim))
+            sl_r = tuple(slice(a, a + s) for a, s in zip(roff, isize))
+            sl_b = tuple(slice(a, a + s) for a, s in zip(boff, isize))
+            out[sl_r] = data[sl_b]
         return out
 
     if complex_out:
