@@ -14,7 +14,9 @@ __all__ = [
 
 from . import tracker
 from .tracker import (
+    check_for_memory_leaks,
     get_timings,
+    memory_snapshot,
     report_memory_usage,
     report_timings,
     reset_timings,
@@ -22,7 +24,8 @@ from .tracker import (
 )
 
 __all__ += ["tracker", "track", "get_timings", "reset_timings",
-            "report_timings", "report_memory_usage"]
+            "report_timings", "report_memory_usage", "memory_snapshot",
+            "check_for_memory_leaks"]
 
 from .caches import clear_caches, report_cache_usage
 

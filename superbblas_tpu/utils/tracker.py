@@ -32,7 +32,8 @@ import jax
 from .. import flags
 
 __all__ = ["track", "tracked", "get_timings", "reset_timings",
-           "report_timings", "report_memory_usage"]
+           "report_timings", "report_memory_usage", "memory_snapshot",
+           "check_for_memory_leaks"]
 
 
 @dataclass
@@ -178,3 +179,29 @@ def report_memory_usage() -> dict:
         live += arr.size * arr.dtype.itemsize
     usage["live_array_bytes"] = live
     return usage
+
+
+def memory_snapshot() -> dict:
+    """Live-array accounting snapshot for leak checking
+    (getCpuMemUsed/getGpuMemUsed analog, performance.h:53-63)."""
+    arrs = jax.live_arrays()
+    return {
+        "count": len(arrs),
+        "bytes": int(sum(a.nbytes for a in arrs)),
+    }
+
+
+def check_for_memory_leaks(baseline: dict, tol_bytes: int = 0) -> None:
+    """Raise if live device memory grew past the baseline snapshot
+    (checkForMemoryLeaks, performance.h:497-518; the reference's tests
+    call it at exit under SB_TRACK_MEM=1).  Call gc first if exactness
+    matters — Python keeps arrays alive through cycles."""
+    import gc
+
+    gc.collect()
+    now = memory_snapshot()
+    grew = now["bytes"] - baseline["bytes"]
+    if grew > tol_bytes:
+        raise RuntimeError(
+            f"memory leak: live array bytes grew by {grew} "
+            f"({baseline['count']} -> {now['count']} arrays)")

@@ -109,3 +109,20 @@ def test_tracked_ops_record(monkeypatch):
         assert "bsr_krylov" in rep
     finally:
         flags.clear_cache()
+
+
+def test_memory_leak_check():
+    import jax.numpy as jnp
+
+    from superbblas_tpu.utils import check_for_memory_leaks, memory_snapshot
+
+    base = memory_snapshot()
+    tmp = jnp.ones((256, 256))
+    try:
+        check_for_memory_leaks(base)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    del tmp
+    check_for_memory_leaks(base)   # clean after release
