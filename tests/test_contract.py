@@ -141,3 +141,50 @@ def test_f32_accumulates_f32():
                             jnp.asarray(b), "jk", False, 0.0, None, "ik")
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), a @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_randomized_alpha_beta_conj_sweep():
+    """Reference-style breadth (tests/contract.cpp:41-433): random label
+    splits, dims in {1,2,3}, alpha/beta in {0, +-1, 0.5}, +-conj per
+    operand, against a numpy einsum oracle."""
+    import numpy as np
+
+    from superbblas_tpu import local_contraction
+    from superbblas_tpu.utils.testing import numpy_contraction_reference
+
+    rng = np.random.default_rng(42)
+    labels = "tabcde"
+    for case in range(60):
+        nT, nA, nB, nC = rng.integers(0, 3, size=4)
+        if nT + nA + nB + nC == 0:
+            continue
+        T = labels[:nT]
+        A = labels[nT:nT + nA]
+        Bl = labels[nT + nA:nT + nA + nB]
+        C = labels[nT + nA + nB:nT + nA + nB + nC]
+        dims = {c: int(rng.integers(1, 4)) for c in labels}
+        o0 = "".join(rng.permutation(list(T + A + Bl))) if T + A + Bl else ""
+        o1 = "".join(rng.permutation(list(T + A + C))) if T + A + C else ""
+        o_r = "".join(rng.permutation(list(T + Bl + C))) if T + Bl + C else ""
+        if not o0 or not o1 or not o_r:
+            continue
+        sh0 = tuple(dims[c] for c in o0)
+        sh1 = tuple(dims[c] for c in o1)
+        shr = tuple(dims[c] for c in o_r)
+        x0 = rng.standard_normal(sh0)
+        x1 = rng.standard_normal(sh1)
+        r0 = rng.standard_normal(shr)
+        alpha = float(rng.choice([0.0, 1.0, -1.0, 0.5]))
+        beta = float(rng.choice([0.0, 1.0, -1.0, 0.5]))
+        conj0 = bool(rng.integers(2))
+        conj1 = bool(rng.integers(2))
+
+        want = numpy_contraction_reference(
+            alpha, x0, o0, conj0, x1, o1, conj1, beta, r0, o_r)
+        got = local_contraction(
+            alpha, jnp.asarray(x0), o0, conj0, jnp.asarray(x1), o1, conj1,
+            beta, jnp.asarray(r0), o_r)
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-10, atol=1e-12,
+            err_msg=f"case {case}: {o0},{o1}->{o_r} a={alpha} b={beta} "
+                    f"c0={conj0} c1={conj1} dims={dims}")
