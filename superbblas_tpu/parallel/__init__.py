@@ -13,6 +13,7 @@ from .halo import crop_halos, exchange_halos
 from .overlap import bsr_krylov_overlap
 from .powers import bsr_krylov_ca
 from .multihost import initialize_distributed, make_multihost_mesh
+from .stencil_sharded import apply_stencil_soa_sharded
 from .redistribute import (
     make_plan,
     pack_global,
@@ -40,6 +41,7 @@ __all__ = [
     "bsr_krylov_ca",
     "initialize_distributed",
     "make_multihost_mesh",
+    "apply_stencil_soa_sharded",
     "make_plan",
     "pack_global",
     "redistribute_explicit",

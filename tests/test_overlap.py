@@ -104,3 +104,34 @@ def test_just_local_drops_boundary_terms(mesh):
     out = bsr_krylov_overlap(1.0, op, x_sh, "XYsn", mesh,
                              {"X": "X", "Y": "Y"}, just_local=True)
     np.testing.assert_allclose(np.asarray(out), y, rtol=1e-12, atol=1e-12)
+
+
+def test_soa_sharded_matches_unsharded(mesh):
+    """The sharded SoA hot path (halo-extend -> kernel -> crop) equals the
+    unsharded application, incl. communication-avoiding powers."""
+    from superbblas_tpu.bsr import apply_stencil_soa
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.parallel import apply_stencil_soa_sharded
+
+    lat = (8, 8, 8, 128)
+    op = wilson_operator(lat, mass=0.2, key=1, dtype=jnp.complex64,
+                         layout="soa")
+    rng = np.random.default_rng(0)
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((2, 12) + lat), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 12) + lat), jnp.float32))
+
+    ref1 = apply_stencil_soa(op, x)
+    ref2 = apply_stencil_soa(op, ref1)
+
+    sh = NamedSharding(mesh, P(None, None, "X", "Y", None, None))
+    xs = jax.device_put(x, sh)
+    op_sh = type(op)(**{**op.__dict__,
+                        "blocks": jax.device_put(op.blocks, sh)})
+    y1 = apply_stencil_soa_sharded(op_sh, xs, mesh, {"x": "X", "y": "Y"})
+    np.testing.assert_allclose(np.asarray(y1.re), np.asarray(ref1.re),
+                               rtol=1e-5, atol=1e-5)
+    y2 = apply_stencil_soa_sharded(op_sh, xs, mesh, {"x": "X", "y": "Y"},
+                                   power=2)
+    np.testing.assert_allclose(np.asarray(y2.re), np.asarray(ref2.re),
+                               rtol=1e-4, atol=1e-4)
