@@ -302,9 +302,16 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
     )
 
 
-def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=10 * 2 ** 20,
+def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=39 * 2 ** 20,
                  itemsize=4):
-    """Choose (nc, Yc) fitting the VMEM budget (with double buffering)."""
+    """Choose (nc, Yc) fitting the VMEM budget (with double buffering).
+
+    Bigger Y-chunks dominate (sweep on v5e, Wilson 8x8x16x128 x 8 rhs:
+    Yc=2/nc=1 6.1 TF/s -> Yc=4/nc=4 7.5 -> Yc=8(full)/nc=1 9.2), so the
+    picker maximizes Yc first, then nc.  The 39 MiB budget is the
+    largest worksize the Mosaic toolchain compiled reliably in that
+    sweep (48+ MiB configs crash the compiler); the pallas_call sets
+    vmem_limit_bytes=64 MiB to accommodate it."""
     def bytes_for(nc, Yc):
         site = Z * T * itemsize
         x = (3 * Yc + 2) * F * nc * site * 2          # 5 specs, re+im
@@ -312,7 +319,7 @@ def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=10 * 2 ** 20,
         y = KO * nc * Yc * site * 2
         return (x + blk) * 2 + y * 2                   # double buffering
 
-    for Yc in [y for y in (4, 2, 1) if Y % y == 0]:
+    for Yc in [y for y in range(Y, 0, -1) if Y % y == 0]:
         for nc in [c for c in (8, 4, 2, 1) if n % c == 0]:
             if bytes_for(nc, Yc) <= vmem_budget:
                 return nc, Yc
@@ -342,7 +349,9 @@ def stencil_matvec_soa(
     KO = KI * bi
     assert FB == bi * bd and x.shape[1] == F
 
-    nc, Yc = _pick_chunks(n, Y, F, KO, bi, bd, Z, T, ndir)
+    # bf16 operands are converted to f32 in VMEM: budget raw + converted
+    nc, Yc = _pick_chunks(n, Y, F, KO, bi, bd, Z, T, ndir,
+                          itemsize=(6 if x.dtype.itemsize == 2 else 4))
     grid = (X, Y // Yc, n // nc)
 
     xspec = pl.BlockSpec(
