@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Reference-style runtime performance table.
+
+The reference's test executables print throughput tables at runtime
+(tests/dist.cpp:157-330: batched-GEMM GFLOPS, copy bandwidth + overhead
+vs memcpy, tensor shift; tests/bsr.cpp:845-868: matvec time per rhs).
+This tool prints the same table for the TPU build:
+
+    python tools/perf_table.py
+"""
+
+import statistics
+import sys
+import time
+
+
+def two_point(make_fn, n1, n2):
+    res = {}
+    for n in (n1, n2):
+        fn = make_fn(n)
+        fn()
+        res[n] = statistics.median(
+            [(lambda t0: (fn(), time.perf_counter() - t0)[1])(
+                time.perf_counter()) for _ in range(5)])
+    return (res[n2] - res[n1]) / (n2 - n1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import bench_bsr, bench_contraction, bench_copy, bench_shift
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}  (1 chip)")
+    print(f"{'workload':44s} {'time':>10s} {'rate':>16s}")
+
+    # streaming copy reference (the memcpy baseline of dist.cpp:222-236)
+    x = jax.random.normal(jax.random.PRNGKey(0), (128, 64, 64, 128),
+                          jnp.float32)
+
+    def make_stream(n):
+        @jax.jit
+        def f(v):
+            def body(c, _):
+                return c + 1.0, ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(c)
+        return lambda: float(f(x))
+
+    dt = two_point(make_stream, 50, 250)
+    stream = 2 * x.size * 4 / dt / 1e9
+    print(f"{'streaming copy (memcpy reference)':44s} {dt*1e3:8.3f}ms "
+          f"{stream:10.1f} GB/s")
+
+    cp_gb, cp_dt = bench_copy()
+    print(f"{'label permute xyzt->tzyx (Pallas tiled)':44s} "
+          f"{cp_dt*1e3:8.3f}ms {cp_gb:10.1f} GB/s   "
+          f"(overhead vs memcpy: {stream / cp_gb:.2f}x)")
+
+    sh_gb, sh_dt = __import__("bench").bench_shift()
+    print(f"{'toroidal shift (halo-class)':44s} {sh_dt*1e3:8.3f}ms "
+          f"{sh_gb:10.1f} GB/s")
+
+    gf, dt = bench_contraction()
+    print(f"{'batched GEMM 8x1024^3 bf16':44s} {dt*1e3:8.3f}ms "
+          f"{gf/1e3:10.1f} TFLOP/s")
+
+    bsr_gf, bsr_gb, bsr_dt = bench_bsr()
+    ncols = 8
+    print(f"{'Wilson Kron-BSR matvec (per rhs)':44s} "
+          f"{bsr_dt/ncols*1e6:8.1f}us {bsr_gf/1e3:10.2f} TFLOP/s")
+
+
+if __name__ == "__main__":
+    main()
