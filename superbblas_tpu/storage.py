@@ -60,6 +60,8 @@ __all__ = [
     "close_storage",
     "save_sharded",
     "load_sharded",
+    "save_async",
+    "save_sharded_async",
 ]
 
 MAGIC = 314
@@ -634,3 +636,69 @@ def load_sharded(sto: Storage, sharding, dtype=None):
         return cplx.CArray(re, im)
     return _jax.make_array_from_callback(
         shape, sharding, lambda idx: region(idx).astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# asynchronous writes (MPI_File_iwrite_at analog, storage.h:294-342)
+# ---------------------------------------------------------------------------
+
+_io_pool = None
+
+
+def _get_io_pool():
+    global _io_pool
+    if _io_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _io_pool = ThreadPoolExecutor(max_workers=4,
+                                      thread_name_prefix="sbt-io")
+    return _io_pool
+
+
+def save_async(alpha, x, o0: str, sto: Storage, o1: str, **kw):
+    """Asynchronous :func:`save`: device arrays are fetched synchronously
+    (cheap: async dispatch already overlapped compute) and the file write
+    runs on an IO thread.  Returns a future; call ``.result()`` — or pass
+    it to :func:`context.wait` — before closing the storage.  The
+    reference posts MPI_File_iwrite_at the same way and resolves the
+    pending requests on flush (storage.h:294-342)."""
+    arr = _to_numpy(x)   # sync point: snapshot the values now
+    return _get_io_pool().submit(save, alpha, arr, o0, sto, o1, **kw)
+
+
+def save_sharded_async(sto: Storage, x, o: str):
+    """Asynchronous :func:`save_sharded`: per-shard numpy snapshots are
+    taken synchronously, block writes run on the IO pool.  Returns a
+    future."""
+    if not sto.blocks:
+        append_blocks(sto, _shard_boxes(x))
+    arr = x.re if cplx.is_carray(x) else x
+    im_by_index = ({tuple(map(str, s.index)): np.asarray(s.data)
+                    for s in x.im.addressable_shards}
+                   if cplx.is_carray(x) else None)
+    shards = []
+    seen = set()
+    for sh in arr.addressable_shards:
+        frm = tuple(sl.start or 0 for sl in sh.index)
+        size = tuple(
+            (sl.stop if sl.stop is not None else d) - (sl.start or 0)
+            for sl, d in zip(sh.index, arr.shape))
+        if (frm, size) in seen:
+            continue
+        seen.add((frm, size))
+        data = np.asarray(sh.data)
+        if im_by_index is not None:
+            data = data + 1j * im_by_index[tuple(map(str, sh.index))]
+        shards.append((frm, size, data))
+
+    declared = {(b.frm, b.size): b for b in sto.blocks}
+
+    def write_all():
+        for frm, size, data in shards:
+            blk = declared.get((frm, size))
+            if blk is None:
+                raise ValueError(
+                    f"shard box {(frm, size)} has no declared block")
+            _write_block(sto, blk, data.astype(sto.dtype))
+
+    return _get_io_pool().submit(write_all)

@@ -93,3 +93,26 @@ def test_sharding_mismatch_raises(tmp_path, mesh):
     with pytest.raises(ValueError, match="no declared block"):
         st.save_sharded(sto, x2, "xy")
     st.close_storage(sto)
+
+
+def test_async_saves(tmp_path, mesh):
+    rng = np.random.default_rng(4)
+    xg = rng.standard_normal((8, 8))
+    x = jax.device_put(jnp.asarray(xg), NamedSharding(mesh, P("X", "Y")))
+
+    p1 = str(tmp_path / "a.s3t")
+    sto = st.create_storage(p1, "xy", (8, 8), dtype=np.float64, checksum=2)
+    fut = st.save_sharded_async(sto, x, "xy")
+    fut.result()
+    st.close_storage(sto)
+    back = st.load(1.0, st.open_storage(p1, "r"), np.zeros((8, 8)), "xy")
+    np.testing.assert_array_equal(back, xg)
+
+    p2 = str(tmp_path / "b.s3t")
+    sto2 = st.create_storage(p2, "xy", (8, 8), dtype=np.float64)
+    st.append_blocks(sto2, [((0, 0), (8, 8))])
+    fut = st.save_async(1.0, jnp.asarray(xg), "xy", sto2, "xy")
+    fut.result()
+    st.close_storage(sto2)
+    back = st.load(1.0, st.open_storage(p2, "r"), np.zeros((8, 8)), "xy")
+    np.testing.assert_array_equal(back, xg)
