@@ -17,6 +17,13 @@ from .clover import (
 )
 from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 from .coarse import apply_coarse, coarse_operator
+from .eo_packed import (
+    apply_hopping_packed,
+    cb_pack,
+    cb_unpack,
+    eo_solve_packed,
+    hopping_packed,
+)
 
 __all__ = [
     "adjoint_operator",
@@ -39,4 +46,9 @@ __all__ = [
     "schur_matvec",
     "apply_coarse",
     "coarse_operator",
+    "apply_hopping_packed",
+    "cb_pack",
+    "cb_unpack",
+    "eo_solve_packed",
+    "hopping_packed",
 ]
