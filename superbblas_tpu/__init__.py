@@ -8,7 +8,7 @@ dot_general/Pallas instead of vendor BLAS, ppermute halo exchange instead of
 Ialltoallv.
 """
 
-from . import aot, bsr, context, cplx, dense, flags, labels, models, native, parallel, storage, utils
+from . import aot, bsr, context, cplx, dense, flags, labels, models, native, parallel, solvers, storage, utils
 from .bsr import (
     BSROperator,
     bsr_from_stencil,

@@ -1,0 +1,156 @@
+"""Generic Krylov solvers over arbitrary operator applies.
+
+The reference library is driven by Krylov-method consumers
+(Chroma solvers, PRIMME eigensolvers — the ``bsr_krylov`` name says it);
+this module provides the standard iterations as jit-compiled
+``lax.while_loop``s over ANY apply function ``A(x)`` on arrays or
+split-complex ``CArray`` pytrees — sharded operands inherit their
+collectives from the apply, inner products psum-reduce automatically.
+
+All solvers are matrix-free and allocation-free inside the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cplx
+
+__all__ = ["cg", "cgne", "bicgstab", "power_iteration"]
+
+
+def _inner_c(a, b):
+    """<a, b> (complex) as a (re, im) pair; psum-reduced when sharded."""
+    if cplx.is_carray(a):
+        re = jnp.sum(a.re * b.re + a.im * b.im)
+        im = jnp.sum(a.re * b.im - a.im * b.re)
+        return re, im
+    return jnp.sum(a * b), jnp.zeros(())
+
+
+def _inner_r(a, b):
+    if cplx.is_carray(a):
+        return jnp.sum(a.re * b.re + a.im * b.im)
+    return jnp.sum(a * b)
+
+
+def _axpy_c(alpha: Tuple, x, y):
+    """y + alpha x for a (re, im) scalar pair."""
+    ar, ai = alpha
+    if cplx.is_carray(x):
+        return cplx.CArray(y.re + ar * x.re - ai * x.im,
+                           y.im + ar * x.im + ai * x.re)
+    return y + ar * x
+
+
+def _scale_c(alpha: Tuple, x):
+    ar, ai = alpha
+    if cplx.is_carray(x):
+        return cplx.CArray(ar * x.re - ai * x.im, ar * x.im + ai * x.re)
+    return ar * x
+
+
+def _cdiv(n: Tuple, d: Tuple):
+    nr, ni = n
+    dr, di = d
+    den = jnp.maximum(dr * dr + di * di, 1e-300)
+    return ((nr * dr + ni * di) / den, (ni * dr - nr * di) / den)
+
+
+def _zeros(x):
+    return cplx.cmap(jnp.zeros_like, x) if cplx.is_carray(x) else jnp.zeros_like(x)
+
+
+def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
+    """Conjugate gradients for Hermitian positive-definite ``A``.
+
+    Returns (x, |r|^2, iterations)."""
+    x = _zeros(b) if x0 is None else x0
+    r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
+    p = r
+    rs = _inner_r(r, r)
+    bs = jnp.maximum(_inner_r(b, b), 1e-300)
+
+    def cond(st):
+        _, _, _, rs, k = st
+        return jnp.logical_and(k < maxiter, rs / bs > tol * tol)
+
+    def body(st):
+        x, r, p, rs, k = st
+        ap = A(p)
+        alpha = rs / jnp.maximum(_inner_r(p, ap), 1e-300)
+        x = _axpy_c((alpha, 0.0 * alpha), p, x)
+        r = _axpy_c((-alpha, 0.0 * alpha), ap, r)
+        rs_new = _inner_r(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-300)
+        p = _axpy_c((beta, 0.0 * beta), p, r)
+        return (x, r, p, rs_new, k + 1)
+
+    x, r, p, rs, k = jax.lax.while_loop(cond, body, (x, r, p, rs,
+                                                     jnp.zeros((), jnp.int32)))
+    return x, rs, k
+
+
+def cgne(A: Callable, Ah: Callable, b, **kw):
+    """CG on the normal equations A^H A x = A^H b for general ``A`` with
+    adjoint ``Ah`` (the iteration the Wilson solves use)."""
+    return cg(lambda v: Ah(A(v)), Ah(b), **kw)
+
+
+def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
+    """BiCGStab for general (non-Hermitian) ``A`` — the standard
+    lattice-QCD solver for the unsquared Wilson operator.
+
+    Returns (x, |r|^2, iterations)."""
+    x = _zeros(b) if x0 is None else x0
+    r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
+    rhat = r
+    p = r
+    rho = _inner_c(rhat, r)
+    bs = jnp.maximum(_inner_r(b, b), 1e-300)
+
+    def cond(st):
+        x, r, p, rhat, rho, k = st
+        return jnp.logical_and(k < maxiter,
+                               _inner_r(r, r) / bs > tol * tol)
+
+    def body(st):
+        x, r, p, rhat, rho, k = st
+        v = A(p)
+        alpha = _cdiv(rho, _inner_c(rhat, v))
+        s = _axpy_c((-alpha[0], -alpha[1]), v, r)
+        t = A(s)
+        ts = _inner_c(t, s)
+        tt = jnp.maximum(_inner_r(t, t), 1e-300)
+        omega = (ts[0] / tt, ts[1] / tt)
+        x = _axpy_c(alpha, p, _axpy_c(omega, s, x))
+        r = _axpy_c((-omega[0], -omega[1]), t, s)
+        rho_new = _inner_c(rhat, r)
+        beta = _cdiv(rho_new, rho)
+        beta = _cdiv(beta, _cdiv(omega, alpha))   # (rho'/rho)(alpha/omega)
+        pm = _axpy_c((-omega[0], -omega[1]), v, p)
+        p = _axpy_c(beta, pm, r)
+        return (x, r, p, rhat, rho_new, k + 1)
+
+    st = (x, r, p, rhat, rho, jnp.zeros((), jnp.int32))
+    x, r, p, rhat, rho, k = jax.lax.while_loop(cond, body, st)
+    return x, _inner_r(r, r), k
+
+
+def power_iteration(A: Callable, x0, iters: int = 50):
+    """Dominant eigenvalue estimate of Hermitian ``A`` by normalized power
+    iteration; returns (lambda_max, x)."""
+    def body(_, st):
+        x, _ = st
+        y = A(x)
+        nrm = jnp.sqrt(jnp.maximum(_inner_r(y, y), 1e-300))
+        inv = 1.0 / nrm
+        y = _scale_c((inv, 0.0 * inv), y)
+        lam = _inner_r(y, A(y)) / jnp.maximum(_inner_r(y, y), 1e-300)
+        return (y, lam)
+
+    x, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.zeros(())))
+    return lam, x

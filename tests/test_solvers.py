@@ -1,0 +1,87 @@
+"""Generic Krylov solvers (solvers.py) against dense oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superbblas_tpu import cplx, solvers
+from superbblas_tpu.models import (
+    apply_coarse,
+    apply_wilson,
+    apply_wilson_dagger,
+    coarse_operator,
+    wilson_operator,
+)
+
+
+def test_cg_hermitian_pd():
+    """Coarse operator + shift is Hermitian PD; CG must hit the tol."""
+    lat, nc = (4, 4), 6
+    op = coarse_operator(lat, block_size=nc, mass=8.0, key=2,
+                         dtype=jnp.complex128)
+    rng = np.random.default_rng(0)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, 1))),
+                    jnp.asarray(rng.standard_normal(lat + (nc, 1))))
+    A = lambda v: apply_coarse(op, v)
+    x, rs, k = solvers.cg(A, b, tol=1e-10, maxiter=500)
+    res = A(x)
+    rel = np.sqrt(((np.asarray(res.re) - np.asarray(b.re)) ** 2
+                   + (np.asarray(res.im) - np.asarray(b.im)) ** 2).sum()
+                  / (np.asarray(b.re) ** 2 + np.asarray(b.im) ** 2).sum())
+    assert rel < 1e-8, (rel, int(k))
+
+
+def test_cgne_and_bicgstab_wilson():
+    lat, m = (4, 4, 2, 2), 0.5
+    op = wilson_operator(lat, mass=m, key=3, dtype=jnp.complex128)
+    rng = np.random.default_rng(1)
+    shape = lat + (4, 3, 1)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+    A = lambda v: apply_wilson(op, v)
+    Ah = lambda v: apply_wilson_dagger(op, v)
+
+    for name, (x, rs, k) in (
+        ("cgne", solvers.cgne(A, Ah, b, tol=1e-10, maxiter=800)),
+        ("bicgstab", solvers.bicgstab(A, b, tol=1e-10, maxiter=800)),
+    ):
+        res = A(x)
+        rel = np.sqrt(((np.asarray(res.re) - np.asarray(b.re)) ** 2
+                       + (np.asarray(res.im) - np.asarray(b.im)) ** 2).sum()
+                      / (np.asarray(b.re) ** 2
+                         + np.asarray(b.im) ** 2).sum())
+        assert rel < 1e-7, (name, rel, int(k))
+
+
+def test_bicgstab_converges_faster_than_cgne():
+    """On the unsquared Wilson operator BiCGStab needs fewer applies than
+    CG on the normal equations (each cgne iter costs 2 applies)."""
+    lat, m = (4, 4, 2, 2), 0.5
+    op = wilson_operator(lat, mass=m, key=4, dtype=jnp.complex128)
+    rng = np.random.default_rng(2)
+    shape = lat + (4, 3, 1)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+    A = lambda v: apply_wilson(op, v)
+    Ah = lambda v: apply_wilson_dagger(op, v)
+    _, _, k1 = solvers.cgne(A, Ah, b, tol=1e-8, maxiter=800)
+    _, _, k2 = solvers.bicgstab(A, b, tol=1e-8, maxiter=800)
+    assert 2 * int(k2) < 4 * int(k1)   # loose sanity on apply counts
+
+
+def test_power_iteration():
+    lat, nc = (4, 4), 4
+    op = coarse_operator(lat, block_size=nc, mass=1.0, key=5,
+                         dtype=jnp.complex128)
+    rng = np.random.default_rng(3)
+    x0 = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, 1))),
+                     jnp.asarray(rng.standard_normal(lat + (nc, 1))))
+    lam, v = solvers.power_iteration(lambda u: apply_coarse(op, u), x0,
+                                     iters=200)
+    # oracle: dense eigenvalues
+    from test_models import materialize
+
+    D = materialize(lambda u: apply_coarse(op, u), lat, (nc,))
+    w = np.linalg.eigvalsh(D)
+    assert abs(float(lam) - w[-1]) / abs(w[-1]) < 1e-3
