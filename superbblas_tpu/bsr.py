@@ -495,7 +495,8 @@ def _apply_gather(op: BSROperator, xc: jax.Array) -> jax.Array:
           memops_fn=lambda out, op, x_soa, *a, **k:
           op.memops_per_matvec(x_soa.shape[0], 8))
 def apply_stencil_soa(op: BSROperator, x_soa: cplx.CArray,
-                      interpret: Optional[bool] = None) -> cplx.CArray:
+                      interpret: Optional[bool] = None,
+                      packed_parity: Optional[int] = None) -> cplx.CArray:
     """Hot path: SoA stencil matvec through the Pallas kernel.
 
     ``x_soa``: CArray [ncols, KD*BD, *lat]; returns [ncols, KI*BI, *lat].
@@ -517,9 +518,11 @@ def apply_stencil_soa(op: BSROperator, x_soa: cplx.CArray,
         use_pallas = True
     if use_pallas:
         return stencil_matvec_soa(op.blocks, op.kron, x_soa, op.offsets,
-                                  bi_v, bd_v, interpret=bool(interpret))
+                                  bi_v, bd_v, interpret=bool(interpret),
+                                  packed_parity=packed_parity)
     return stencil_matvec_soa_reference(op.blocks, op.kron, x_soa,
-                                        op.offsets, bi_v, bd_v)
+                                        op.offsets, bi_v, bd_v,
+                                        packed_parity=packed_parity)
 
 
 def _acc_dtype(dt):

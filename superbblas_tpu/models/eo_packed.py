@@ -34,7 +34,8 @@ from ..labels import volume
 from .wilson import _axpy, _inner, _zeros_like, adjoint_operator
 
 __all__ = ["cb_pack", "cb_unpack", "hopping_packed", "apply_hopping_packed",
-           "eo_solve_packed"]
+           "eo_solve_packed", "cb_pack_soa", "cb_unpack_soa",
+           "hopping_packed_soa", "apply_hopping_packed_soa"]
 
 
 def _rest_parity(lat_dims, trailing: int):
@@ -189,3 +190,68 @@ def eo_solve_packed(op: BSROperator, b, a: float, n_iters: int = 50):
         b_o, cplx.scale(-1.0, apply_hopping_packed(hop_o, psi_e, 1))))
     full = cb_unpack(psi_e, psi_o, nlat)
     return _reshape(full, tuple(op.dim_d) + cols_shape), rs
+
+
+# ---------------------------------------------------------------------------
+# SoA (Pallas hot path) packed checkerboarding
+# ---------------------------------------------------------------------------
+
+
+def _rest_par_np(rest):
+    coords = np.meshgrid(*[np.arange(d) for d in rest], indexing="ij")
+    return (sum(coords) % 2) if coords else np.zeros((), np.int64)
+
+
+def cb_pack_soa(a: cplx.CArray, parity: int) -> cplx.CArray:
+    """SoA layout [n|ndir, F, X, *rest]: keep sites with
+    (x + sum(rest)) % 2 == parity, halving X (array axis 2)."""
+    def pk(v):
+        rest = v.shape[3:]
+        rp = jnp.asarray(_rest_par_np(rest).reshape((1, 1, 1) + tuple(rest)))
+        ev, od = v[:, :, 0::2], v[:, :, 1::2]
+        return jnp.where((parity + rp) % 2 == 1, od, ev)
+    return cplx.cmap(pk, a)
+
+
+def cb_unpack_soa(a_even: cplx.CArray, a_odd: cplx.CArray) -> cplx.CArray:
+    def up(e, o):
+        rest = e.shape[3:]
+        rp = jnp.asarray(_rest_par_np(rest).reshape((1, 1, 1) + tuple(rest)))
+        ev = jnp.where(rp == 1, o, e)
+        od = jnp.where(rp == 0, o, e)
+        out = jnp.stack([ev, od], axis=3)
+        return out.reshape(e.shape[:2] + (2 * e.shape[2],) + tuple(rest))
+    return cplx.CArray(up(a_even.re, a_odd.re), up(a_even.im, a_odd.im))
+
+
+def hopping_packed_soa(op: BSROperator, to_parity: int) -> BSROperator:
+    """SoA-layout hopping operator packed onto ``to_parity`` image sites;
+    its matvec runs in the Pallas kernel with the parity-select X shift
+    (stencil_matvec_soa(..., packed_parity=to_parity))."""
+    if op.mode != "stencil_soa":
+        raise ValueError("needs an SoA-layout stencil operator")
+    if op.dim_d[0] % 2:
+        raise ValueError("X extent must be even")
+    keep = [k for k, off in enumerate(op.offsets) if any(off)]
+    kidx = jnp.asarray(keep)
+    blocks = cb_pack_soa(cplx.cmap(lambda v: v[kidx], op.blocks), to_parity)
+    kron = (cplx.cmap(lambda v: v[kidx], op.kron)
+            if op.kron is not None else None)
+    dim = (op.dim_d[0] // 2,) + tuple(op.dim_d[1:])
+    return BSROperator(
+        oim=op.oim, odm=op.odm, lat_i=op.lat_i, lat_d=op.lat_d,
+        blk_i=op.blk_i, blk_d=op.blk_d, dim_i=dim, dim_d=dim,
+        bi=op.bi, bd=op.bd, mode="stencil_soa", blocks=blocks,
+        offsets=tuple(op.offsets[k] for k in keep),
+        kron=kron, kron_i=op.kron_i, kron_d=op.kron_d, ki=op.ki, kd=op.kd,
+    )
+
+
+def apply_hopping_packed_soa(hop: BSROperator, x_from: cplx.CArray,
+                             to_parity: int,
+                             interpret=None) -> cplx.CArray:
+    """y_to = H x_from between SoA packings through the Pallas kernel."""
+    from ..bsr import apply_stencil_soa
+
+    return apply_stencil_soa(hop, x_from, interpret=interpret,
+                             packed_parity=to_parity)

@@ -247,7 +247,8 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
             yp_re, yp_im,            # [nc, F, 1, 1, Z, T]
             ym_re, ym_im,
             o_re, o_im,              # out [nc, KO, 1, Yc, Z, T]
-            *, offsets, BI, BD, KI, KD, Yc, Z, T, nc, kfact=None):
+            *, offsets, BI, BD, KI, KD, Yc, Z, T, nc, kfact=None,
+            packed_parity=None):
 
     def full(ref):
         # loads cast to f32: operands may be stored bf16 (mixed-precision
@@ -257,6 +258,16 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
     out_dt = o_re.dtype
     xc = (full(xc_re), full(xc_im))
 
+    def _img_x_odd():
+        """Parity of the image site's x coordinate, per (row, z, t) —
+        for packed-checkerboard operands the X-neighbor is either the
+        same packed slot or the adjacent one depending on it."""
+        y0 = pl.program_id(1) * Yc
+        ys = y0 + jax.lax.broadcasted_iota(jnp.int32, (Yc, Z, T), 0)
+        zs = jax.lax.broadcasted_iota(jnp.int32, (Yc, Z, T), 1)
+        ts = jax.lax.broadcasted_iota(jnp.int32, (Yc, Z, T), 2)
+        return ((packed_parity + ys + zs + ts) % 2) == 1
+
     def shifted(d):
         """The x block shifted for direction d: [nc, F, Yc, Z, T] pair."""
         ax, sgn = _axis_of(offsets[d])
@@ -265,7 +276,15 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
         if ax == 0:
             src = (full(xp_re), full(xp_im)) if sgn > 0 else \
                   (full(xm_re), full(xm_im))
-            return src
+            if packed_parity is None:
+                return src
+            m = _img_x_odd()
+            if sgn > 0:   # xh' = xh + [image x odd]
+                return (jnp.where(m, src[0], xc[0]),
+                        jnp.where(m, src[1], xc[1]))
+            # xh' = xh - [image x even]
+            return (jnp.where(m, xc[0], src[0]),
+                    jnp.where(m, xc[1], src[1]))
         if ax == 1:
             if Yc == 1:
                 src = (yp_re, yp_im) if sgn > 0 else (ym_re, ym_im)
@@ -333,6 +352,7 @@ def stencil_matvec_soa(
     offsets: Sequence[Tuple[int, ...]],
     bi: int, bd: int,
     interpret: bool = False,
+    packed_parity: Optional[int] = None,
 ) -> cplx.CArray:
     """y[n, KI*BI, X, Y, Z, T] = stencil matvec in SoA layout."""
     ndir, FB = blocks.shape[0], blocks.shape[1]
@@ -388,6 +408,7 @@ def stencil_matvec_soa(
         _kernel, offsets=tuple(tuple(o) for o in offsets),
         BI=bi, BD=bd, KI=KI, KD=KD, Yc=Yc, Z=Z, T=T, nc=nc,
         kfact=_factor_kron(kron.re, kron.im),
+        packed_parity=packed_parity,
     )
     flops = 4 * 2 * n * X * Y * Z * T * ndir * (KI * KD * bd + bi * bd)
     o_re, o_im = pl.pallas_call(
@@ -412,9 +433,11 @@ def stencil_matvec_soa(
     return cplx.CArray(o_re, o_im)
 
 
-def stencil_matvec_soa_reference(blocks, kron, x, offsets, bi, bd):
+def stencil_matvec_soa_reference(blocks, kron, x, offsets, bi, bd,
+                                 packed_parity=None):
     """Pure-XLA reference with the same SoA signature (used for tests and
-    as the CPU fallback)."""
+    as the CPU fallback).  ``packed_parity`` selects the checkerboard-
+    packed X-shift semantics (see models/eo_packed.py)."""
     ndir = blocks.shape[0]
     if kron is None:
         kron = cplx.CArray(jnp.ones((ndir, 1, 1), blocks.dtype),
@@ -422,12 +445,27 @@ def stencil_matvec_soa_reference(blocks, kron, x, offsets, bi, bd):
     KI, KD = kron.shape[1], kron.shape[2]
     n = x.shape[0]
     lat = x.shape[2:]
+    if packed_parity is not None:
+        import numpy as _np
+
+        rest = lat[1:]
+        coords = _np.meshgrid(*[_np.arange(d) for d in rest], indexing="ij")
+        m = ((packed_parity + sum(coords)) % 2 == 1)
+        img_x_odd = jnp.asarray(m.reshape((1, 1, 1) + tuple(rest)))
 
     def roll(v, off):
         def r(a):
             for ax, o in enumerate(off):
-                if o % lat[ax] != 0:
-                    a = jnp.roll(a, -o, axis=3 + ax)   # after (n, KD, bd)
+                if o % (lat[ax] if packed_parity is None or ax != 0
+                        else 10 ** 9) != 0:
+                    if packed_parity is not None and ax == 0:
+                        sh = jnp.roll(a, -o, axis=3)
+                        if o > 0:
+                            a = jnp.where(img_x_odd, sh, a)
+                        else:
+                            a = jnp.where(img_x_odd, a, sh)
+                    else:
+                        a = jnp.roll(a, -o, axis=3 + ax)
             return a
         return cplx.cmap(r, v)
 

@@ -234,3 +234,50 @@ def test_eo_solve_packed_residual():
          + (np.asarray(res.im) - np.asarray(b.im)) ** 2).sum()
         / (np.asarray(b.re) ** 2 + np.asarray(b.im) ** 2).sum())
     assert rel < 1e-8, rel
+
+
+def test_packed_soa_hopping_matches_aos():
+    """SoA packed hopping (Pallas parity-select path; XLA fallback on
+    CPU) equals the AoS packed hopping."""
+    from superbblas_tpu.models.eo_packed import (
+        apply_hopping_packed,
+        apply_hopping_packed_soa,
+        cb_pack,
+        cb_pack_soa,
+        cb_unpack_soa,
+        hopping_packed,
+        hopping_packed_soa,
+    )
+    from superbblas_tpu.ops.stencil_pallas import aos_to_soa, soa_to_aos
+
+    lat = (4, 4, 8, 128)
+    op_aos = wilson_operator(lat, mass=0.3, key=9, dtype=jnp.complex64)
+    op_soa = wilson_operator(lat, mass=0.3, key=9, dtype=jnp.complex64,
+                             layout="soa")
+    rng = np.random.default_rng(2)
+    xs = cplx.CArray(
+        jnp.asarray(rng.standard_normal((2, 12) + lat), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 12) + lat), jnp.float32))
+    # AoS oracle: canonical [*lat, KD, BD, N]
+    x_aos = soa_to_aos(xs, 4, 4, 3)  # [*lat, 4, 3, 2]
+    hop_e = hopping_packed(op_aos, 0)
+    want = apply_hopping_packed(hop_e, cb_pack(x_aos, 4, 1), 0)
+
+    hop_e_soa = hopping_packed_soa(op_soa, 0)
+    got_soa = apply_hopping_packed_soa(hop_e_soa, cb_pack_soa(xs, 1), 0)
+    got = soa_to_aos(got_soa, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cb_pack_soa_roundtrip():
+    from superbblas_tpu.models.eo_packed import cb_pack_soa, cb_unpack_soa
+
+    rng = np.random.default_rng(1)
+    a = cplx.CArray(jnp.asarray(rng.standard_normal((2, 3, 4, 4, 2, 6))),
+                    jnp.asarray(rng.standard_normal((2, 3, 4, 4, 2, 6))))
+    ae, ao = cb_pack_soa(a, 0), cb_pack_soa(a, 1)
+    back = cb_unpack_soa(ae, ao)
+    np.testing.assert_array_equal(np.asarray(back.re), np.asarray(a.re))
