@@ -22,7 +22,9 @@ from .eo_packed import (
     cb_pack,
     cb_unpack,
     eo_solve_packed,
+    eo_solve_packed_soa,
     hopping_packed,
+    hopping_packed_soa,
 )
 
 __all__ = [
@@ -50,5 +52,7 @@ __all__ = [
     "cb_pack",
     "cb_unpack",
     "eo_solve_packed",
+    "eo_solve_packed_soa",
+    "hopping_packed_soa",
     "hopping_packed",
 ]

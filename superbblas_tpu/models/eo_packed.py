@@ -35,7 +35,8 @@ from .wilson import _axpy, _inner, _zeros_like, adjoint_operator
 
 __all__ = ["cb_pack", "cb_unpack", "hopping_packed", "apply_hopping_packed",
            "eo_solve_packed", "cb_pack_soa", "cb_unpack_soa",
-           "hopping_packed_soa", "apply_hopping_packed_soa"]
+           "hopping_packed_soa", "apply_hopping_packed_soa",
+           "eo_solve_packed_soa"]
 
 
 def _rest_parity(lat_dims, trailing: int):
@@ -255,3 +256,58 @@ def apply_hopping_packed_soa(hop: BSROperator, x_from: cplx.CArray,
 
     return apply_stencil_soa(hop, x_from, interpret=interpret,
                              packed_parity=to_parity)
+
+
+def eo_solve_packed_soa(op: BSROperator, b_soa: cplx.CArray, a: float,
+                        n_iters: int = 50):
+    """Even-odd preconditioned solve on the SoA/Pallas hot path.
+
+    ``op``: SoA-layout operator; ``b_soa``: [n, KD*BD, X, *rest].
+    The Schur CG matvecs run as x-halved Pallas kernel applies (measured
+    2.44x faster per hopping than the full-lattice matvec on v5e).
+    Returns (psi in SoA layout, Schur residual)."""
+    if op.mode != "stencil_soa":
+        raise ValueError("needs an SoA-layout operator")
+    b_e = cb_pack_soa(b_soa, 0)
+    b_o = cb_pack_soa(b_soa, 1)
+
+    hop_e = hopping_packed_soa(op, 0)
+    hop_o = hopping_packed_soa(op, 1)
+    op_h = adjoint_operator(op)
+    hop_e_h = hopping_packed_soa(op_h, 0)
+    hop_o_h = hopping_packed_soa(op_h, 1)
+
+    def Dhat(v_e):
+        t_o = apply_hopping_packed_soa(hop_o, v_e, 1)
+        t_e = apply_hopping_packed_soa(hop_e, t_o, 0)
+        return cplx.add(cplx.scale(a, v_e), cplx.scale(-1.0 / a, t_e))
+
+    def Dhat_h(v_e):
+        t_o = apply_hopping_packed_soa(hop_o_h, v_e, 1)
+        t_e = apply_hopping_packed_soa(hop_e_h, t_o, 0)
+        return cplx.add(cplx.scale(a, v_e), cplx.scale(-1.0 / a, t_e))
+
+    rhs = cplx.add(b_e, cplx.scale(
+        -1.0 / a, apply_hopping_packed_soa(hop_e, b_o, 0)))
+
+    x = _zeros_like(b_e)
+    r = Dhat_h(rhs)
+    p = r
+    rs = _inner(r, r)
+
+    def body(_, state):
+        x, r, p, rs = state
+        ap = Dhat_h(Dhat(p))
+        alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, ap, r)
+        rs_new = _inner(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = cplx.add(r, cplx.CArray(beta * p.re, beta * p.im))
+        return (x, r, p, rs_new)
+
+    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
+    psi_e = x
+    psi_o = cplx.scale(1.0 / a, cplx.add(
+        b_o, cplx.scale(-1.0, apply_hopping_packed_soa(hop_o, psi_e, 1))))
+    return cb_unpack_soa(psi_e, psi_o), rs

@@ -281,3 +281,55 @@ def test_cb_pack_soa_roundtrip():
     ae, ao = cb_pack_soa(a, 0), cb_pack_soa(a, 1)
     back = cb_unpack_soa(ae, ao)
     np.testing.assert_array_equal(np.asarray(back.re), np.asarray(a.re))
+
+
+def test_eo_solve_packed_soa_residual():
+    from superbblas_tpu.models import eo_solve_packed_soa
+    from superbblas_tpu.ops.stencil_pallas import aos_to_soa, soa_to_aos
+
+    lat, m, r = (4, 4, 8, 128), 0.4, 1.0
+    op = wilson_operator(lat, mass=m, r=r, key=5, dtype=jnp.complex64,
+                         layout="soa")
+    op_aos = wilson_operator(lat, mass=m, r=r, key=5, dtype=jnp.complex64)
+    rng = np.random.default_rng(8)
+    b = cplx.CArray(
+        jnp.asarray(rng.standard_normal((1, 12) + lat), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 12) + lat), jnp.float32))
+
+    psi, _ = eo_solve_packed_soa(op, b, a=m + 4 * r, n_iters=200)
+    psi_aos = soa_to_aos(psi, 4, 4, 3)
+    b_aos = soa_to_aos(b, 4, 4, 3)
+    res = apply_wilson(op_aos, psi_aos)
+    rel = np.sqrt(
+        ((np.asarray(res.re) - np.asarray(b_aos.re)) ** 2
+         + (np.asarray(res.im) - np.asarray(b_aos.im)) ** 2).sum()
+        / (np.asarray(b_aos.re) ** 2 + np.asarray(b_aos.im) ** 2).sum())
+    assert rel < 2e-3, rel   # f32 CG on a 4^2x8x128 lattice
+
+
+def test_staggered_packed_hopping():
+    """The packed machinery is operator-generic: staggered (non-kron)
+    hopping between packings matches the masked application."""
+    from superbblas_tpu.models import checkerboard_masks
+    from superbblas_tpu.models.eo_packed import (
+        apply_hopping_packed,
+        cb_pack,
+        hopping_packed,
+    )
+
+    lat, m = (4, 4), 0.3
+    op = staggered_operator(lat, mass=m, key=6, dtype=jnp.complex128)
+    rng = np.random.default_rng(4)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (3, 2))),
+                    jnp.asarray(rng.standard_normal(lat + (3, 2))))
+    even, odd = checkerboard_masks(lat, 2)
+    x_o = cplx.CArray(odd * x.re, odd * x.im)
+    hx = cplx.add(apply_staggered(op, x_o), cplx.scale(-m, x_o))
+    want = cb_pack(cplx.CArray(even * hx.re, even * hx.im), 2, 0)
+
+    hop_e = hopping_packed(op, 0)
+    got = apply_hopping_packed(hop_e, cb_pack(x, 2, 1), 0)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               atol=1e-12)
