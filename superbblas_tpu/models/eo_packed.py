@@ -31,6 +31,7 @@ import numpy as np
 from .. import cplx
 from ..bsr import BSROperator, _apply_stencil, _reshape
 from ..labels import volume
+from .even_odd import schur_cg
 from .wilson import _axpy, _inner, _zeros_like, adjoint_operator
 
 __all__ = ["cb_pack", "cb_unpack", "hopping_packed", "apply_hopping_packed",
@@ -76,6 +77,15 @@ def cb_unpack(a_even, a_odd, nlat: int):
     return up(a_even, a_odd)
 
 
+def _check_one_hot(offsets):
+    for off in offsets:
+        nz = [o for o in off if o]
+        if nz and (len(nz) != 1 or abs(nz[0]) != 1):
+            raise ValueError(
+                f"packed checkerboarding requires one-hot +-1 stencil "
+                f"offsets, got {off}")
+
+
 def hopping_packed(op: BSROperator, to_parity: int) -> BSROperator:
     """The hopping (center excluded) operator packed onto ``to_parity``
     image sites: blocks [X/2, *rest, ndir-?, BI, BD]."""
@@ -83,6 +93,7 @@ def hopping_packed(op: BSROperator, to_parity: int) -> BSROperator:
         raise ValueError("packed checkerboarding needs an AoS stencil op")
     if op.dim_d[0] % 2:
         raise ValueError("X extent must be even")
+    _check_one_hot(op.offsets)
     nlat = len(op.dim_d)
     keep = [k for k, off in enumerate(op.offsets) if any(off)]
     idx = (slice(None),) * nlat + (jnp.asarray(keep),)
@@ -166,27 +177,7 @@ def eo_solve_packed(op: BSROperator, b, a: float, n_iters: int = 50):
     rhs = cplx.add(b_e, cplx.scale(-1.0 / a,
                                    apply_hopping_packed(hop_e, b_o, 0)))
 
-    x = _zeros_like(b_e)
-    r = Dhat_h(rhs)
-    p = r
-    rs = _inner(r, r)
-
-    def body(_, state):
-        x, r, p, rs = state
-        ap = Dhat_h(Dhat(p))
-        alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
-        x = _axpy(alpha, p, x)
-        r = _axpy(-alpha, ap, r)
-        rs_new = _inner(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        if cplx.is_carray(r):
-            p = cplx.add(r, cplx.CArray(beta * p.re, beta * p.im))
-        else:
-            p = r + beta.astype(r.dtype) * p
-        return (x, r, p, rs_new)
-
-    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
-    psi_e = x
+    psi_e, rs = schur_cg(Dhat, Dhat_h, rhs, n_iters)
     psi_o = cplx.scale(1.0 / a, cplx.add(
         b_o, cplx.scale(-1.0, apply_hopping_packed(hop_o, psi_e, 1))))
     full = cb_unpack(psi_e, psi_o, nlat)
@@ -233,6 +224,7 @@ def hopping_packed_soa(op: BSROperator, to_parity: int) -> BSROperator:
         raise ValueError("needs an SoA-layout stencil operator")
     if op.dim_d[0] % 2:
         raise ValueError("X extent must be even")
+    _check_one_hot(op.offsets)
     keep = [k for k, off in enumerate(op.offsets) if any(off)]
     kidx = jnp.asarray(keep)
     blocks = cb_pack_soa(cplx.cmap(lambda v: v[kidx], op.blocks), to_parity)
@@ -290,24 +282,7 @@ def eo_solve_packed_soa(op: BSROperator, b_soa: cplx.CArray, a: float,
     rhs = cplx.add(b_e, cplx.scale(
         -1.0 / a, apply_hopping_packed_soa(hop_e, b_o, 0)))
 
-    x = _zeros_like(b_e)
-    r = Dhat_h(rhs)
-    p = r
-    rs = _inner(r, r)
-
-    def body(_, state):
-        x, r, p, rs = state
-        ap = Dhat_h(Dhat(p))
-        alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
-        x = _axpy(alpha, p, x)
-        r = _axpy(-alpha, ap, r)
-        rs_new = _inner(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = cplx.add(r, cplx.CArray(beta * p.re, beta * p.im))
-        return (x, r, p, rs_new)
-
-    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
-    psi_e = x
+    psi_e, rs = schur_cg(Dhat, Dhat_h, rhs, n_iters)
     psi_o = cplx.scale(1.0 / a, cplx.add(
         b_o, cplx.scale(-1.0, apply_hopping_packed_soa(hop_o, psi_e, 1))))
     return cb_unpack_soa(psi_e, psi_o), rs

@@ -46,7 +46,35 @@ from .wilson import (
     _zeros_like,
 )
 
-__all__ = ["checkerboard_masks", "eo_solve", "schur_matvec"]
+__all__ = ["checkerboard_masks", "eo_solve", "schur_matvec",
+           "schur_cg"]
+
+
+def schur_cg(Dhat, Dhat_h, rhs, n_iters: int):
+    """CG on the normal equations Dhat^H Dhat x = Dhat^H rhs — the shared
+    Schur-complement iteration behind eo_solve and the packed variants.
+    Returns (x, |r|^2)."""
+    x = _zeros_like(rhs)
+    r = Dhat_h(rhs)
+    p = r
+    rs = _inner(r, r)
+
+    def body(_, state):
+        x, r, p, rs = state
+        ap = Dhat_h(Dhat(p))
+        alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, ap, r)
+        rs_new = _inner(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        if cplx.is_carray(r):
+            p = cplx.add(r, cplx.CArray(beta * p.re, beta * p.im))
+        else:
+            p = r + beta.astype(r.dtype) * p
+        return (x, r, p, rs_new)
+
+    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
+    return x, rs
 
 
 def checkerboard_masks(lat_dims: Tuple[int, ...], trailing: int):
@@ -105,28 +133,7 @@ def eo_solve(op: BSROperator, b, a: float, n_iters: int = 50):
     A = lambda v: schur_matvec(op, a, even, odd, v)
     Ah = lambda v: _schur_matvec_dagger(op_h, a, even, odd, v)
 
-    # CG on Ah A x = Ah rhs
-    x = _zeros_like(b)
-    r = Ah(rhs)
-    p = r
-    rs = _inner(r, r)
-
-    def body(_, state):
-        x, r, p, rs = state
-        ap = Ah(A(p))
-        alpha = rs / jnp.maximum(_inner(p, ap), 1e-30)
-        x = _axpy(alpha, p, x)
-        r = _axpy(-alpha, ap, r)
-        rs_new = _inner(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        if cplx.is_carray(r):
-            p = cplx.add(r, cplx.CArray(beta * p.re, beta * p.im))
-        else:
-            p = r + beta.astype(r.dtype) * p
-        return (x, r, p, rs_new)
-
-    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body,
-                                    (x, r, p, rs))
+    x, rs = schur_cg(A, Ah, rhs, n_iters)
     psi_e = _mask(even, x)
     # psi_o = (b_o - D_oe psi_e) / a
     h_pe = _mask(odd, cplx.add(apply_wilson(op, psi_e), _scale(-a, psi_e)))

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from .. import cplx
 
-__all__ = ["exchange_halos", "crop_halos"]
+__all__ = ["exchange_halos", "crop_halos", "extend_local"]
 
 
 def _exchange_axis(local, axis: int, name: str, width: int, mesh: Mesh):
@@ -79,6 +79,21 @@ def exchange_halos(
         body, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
         check_vma=False,
     )(x)
+
+
+def extend_local(a, ax_names: Dict[int, str], widths: Dict[int, int],
+                 mesh: Mesh):
+    """Halo-extend a shard-local (possibly split-complex) block along the
+    given array axes via neighbor ppermutes (shared by the CA-powers and
+    sharded-SoA paths)."""
+    from .. import cplx as _cplx
+
+    def ext(v):
+        for ax, nm in ax_names.items():
+            v = _exchange_axis(v, ax, nm, widths[ax], mesh)
+        return v
+
+    return _cplx.cmap(ext, a) if _cplx.is_carray(a) else ext(a)
 
 
 def crop_halos(x, widths: Dict[int, int]):

@@ -98,7 +98,8 @@ def _dir_contribution(op: BSROperator, blk_slab, xs_slab, k: int, nlat: int):
         preferred_element_type=_acc_dtype(blk_slab.dtype),
     ).astype(xs_slab.dtype)  # [*slab, BI, KD, N]
     yk = cplx.cbilinear(
-        lambda kk, tt: jnp.einsum("ab,...ibn->...ian", kk, tt),
+        lambda kk, tt: jnp.einsum("ab,...ibn->...ian", kk, tt,
+                                  precision=cplx.default_precision()),
         _idx(op.kron, k), t,
     )  # [*slab, BI, KI, N]
     sw = lambda v: jnp.swapaxes(v, nlat, nlat + 1)

@@ -38,31 +38,9 @@ from .. import cplx
 from ..bsr import BSROperator, _apply_stencil, _reshape, _stack
 from ..labels import check_order, volume
 from ..ops.copy import _is_static, local_permute
-from .halo import _exchange_axis
+from .halo import crop_halos as _crop, extend_local as _extend
 
 __all__ = ["bsr_krylov_ca"]
-
-
-def _extend(a, ax_names: Dict[int, str], widths: Dict[int, int], mesh: Mesh):
-    """Halo-extend the (possibly split-complex) local block along the
-    sharded lattice axes."""
-
-    def ext(v):
-        for ax, nm in ax_names.items():
-            v = _exchange_axis(v, ax, nm, widths[ax], mesh)
-        return v
-
-    return cplx.cmap(ext, a) if cplx.is_carray(a) else ext(a)
-
-
-def _crop(a, ax_widths: Dict[int, int]):
-    def crop(v):
-        idx = [slice(None)] * v.ndim
-        for ax, w in ax_widths.items():
-            idx[ax] = slice(w, v.shape[ax] - w)
-        return v[tuple(idx)]
-
-    return cplx.cmap(crop, a) if cplx.is_carray(a) else crop(a)
 
 
 def bsr_krylov_ca(

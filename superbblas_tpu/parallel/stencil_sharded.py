@@ -33,17 +33,9 @@ from jax.sharding import Mesh, PartitionSpec
 from .. import cplx
 from ..bsr import BSROperator
 from ..labels import volume
-from .halo import _exchange_axis
+from .halo import crop_halos, extend_local as _extend
 
 __all__ = ["apply_stencil_soa_sharded"]
-
-
-def _extend(a: cplx.CArray, ax_names, widths, mesh):
-    def ext(v):
-        for ax, nm in ax_names.items():
-            v = _exchange_axis(v, ax, nm, widths[ax], mesh)
-        return v
-    return cplx.cmap(ext, a)
 
 
 def apply_stencil_soa_sharded(
@@ -113,12 +105,7 @@ def apply_stencil_soa_sharded(
         for _ in range(power):
             cur = apply_stencil_soa(lop, cur)
 
-        def crop(v):
-            idx = [slice(None)] * v.ndim
-            for ax, w in w_arr.items():
-                idx[ax] = slice(w, v.shape[ax] - w)
-            return v[tuple(idx)]
-        return cplx.cmap(crop, cur)
+        return crop_halos(cur, w_arr)
 
     kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
     return shard_map(

@@ -56,7 +56,7 @@ def _scale_c(alpha: Tuple, x):
 def _cdiv(n: Tuple, d: Tuple):
     nr, ni = n
     dr, di = d
-    den = jnp.maximum(dr * dr + di * di, 1e-300)
+    den = jnp.maximum(dr * dr + di * di, 1e-30)
     return ((nr * dr + ni * di) / den, (ni * dr - nr * di) / den)
 
 
@@ -67,12 +67,14 @@ def _zeros(x):
 def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
     """Conjugate gradients for Hermitian positive-definite ``A``.
 
-    Returns (x, |r|^2, iterations)."""
+    Returns (x, |r|^2, iterations).  Reference analog: the solver loop
+    superbblas consumers build over bsr_krylov (bsr.h:2353) — e.g. the
+    matvec-per-iteration workload of tests/bsr_hist.cpp:17-38."""
     x = _zeros(b) if x0 is None else x0
     r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
     p = r
     rs = _inner_r(r, r)
-    bs = jnp.maximum(_inner_r(b, b), 1e-300)
+    bs = jnp.maximum(_inner_r(b, b), 1e-30)
 
     def cond(st):
         _, _, _, rs, k = st
@@ -81,11 +83,11 @@ def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
     def body(st):
         x, r, p, rs, k = st
         ap = A(p)
-        alpha = rs / jnp.maximum(_inner_r(p, ap), 1e-300)
+        alpha = rs / jnp.maximum(_inner_r(p, ap), 1e-30)
         x = _axpy_c((alpha, 0.0 * alpha), p, x)
         r = _axpy_c((-alpha, 0.0 * alpha), ap, r)
         rs_new = _inner_r(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-300)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
         p = _axpy_c((beta, 0.0 * beta), p, r)
         return (x, r, p, rs_new, k + 1)
 
@@ -96,13 +98,15 @@ def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
 
 def cgne(A: Callable, Ah: Callable, b, **kw):
     """CG on the normal equations A^H A x = A^H b for general ``A`` with
-    adjoint ``Ah`` (the iteration the Wilson solves use)."""
+    adjoint ``Ah`` (the iteration the Wilson solves use; reference
+    consumers drive it through two bsr_krylov handles, bsr.h:2353)."""
     return cg(lambda v: Ah(A(v)), Ah(b), **kw)
 
 
 def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
     """BiCGStab for general (non-Hermitian) ``A`` — the standard
-    lattice-QCD solver for the unsquared Wilson operator.
+    lattice-QCD solver for the unsquared Wilson operator (one
+    bsr_krylov-class apply per half-step in reference terms, bsr.h:2353).
 
     Returns (x, |r|^2, iterations)."""
     x = _zeros(b) if x0 is None else x0
@@ -110,7 +114,7 @@ def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
     rhat = r
     p = r
     rho = _inner_c(rhat, r)
-    bs = jnp.maximum(_inner_r(b, b), 1e-300)
+    bs = jnp.maximum(_inner_r(b, b), 1e-30)
 
     def cond(st):
         x, r, p, rhat, rho, k = st
@@ -124,7 +128,7 @@ def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
         s = _axpy_c((-alpha[0], -alpha[1]), v, r)
         t = A(s)
         ts = _inner_c(t, s)
-        tt = jnp.maximum(_inner_r(t, t), 1e-300)
+        tt = jnp.maximum(_inner_r(t, t), 1e-30)
         omega = (ts[0] / tt, ts[1] / tt)
         x = _axpy_c(alpha, p, _axpy_c(omega, s, x))
         r = _axpy_c((-omega[0], -omega[1]), t, s)
@@ -142,15 +146,17 @@ def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
 
 def power_iteration(A: Callable, x0, iters: int = 50):
     """Dominant eigenvalue estimate of Hermitian ``A`` by normalized power
-    iteration; returns (lambda_max, x)."""
+    iteration; returns (lambda_max, x).  One operator apply per
+    iteration: the Rayleigh quotient <x, Ax> is computed from the same
+    apply that advances the iterate."""
     def body(_, st):
         x, _ = st
+        xn = jnp.sqrt(jnp.maximum(_inner_r(x, x), 1e-30))
+        x = _scale_c((1.0 / xn, 0.0 * xn), x)
         y = A(x)
-        nrm = jnp.sqrt(jnp.maximum(_inner_r(y, y), 1e-300))
-        inv = 1.0 / nrm
-        y = _scale_c((inv, 0.0 * inv), y)
-        lam = _inner_r(y, A(y)) / jnp.maximum(_inner_r(y, y), 1e-300)
+        lam = _inner_r(x, y)          # <x, Ax> with |x| = 1
         return (y, lam)
 
-    x, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.zeros(())))
-    return lam, x
+    y, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.zeros(())))
+    xn = jnp.sqrt(jnp.maximum(_inner_r(y, y), 1e-30))
+    return lam, _scale_c((1.0 / xn, 0.0 * xn), y)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 import zlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -124,6 +125,11 @@ class Storage:
     header_crc: int = 0       # running crc of header+block metadata (lvl 2)
     num_chunks: int = 0
     _file: Optional[object] = None
+    # serializes all file access: async writers (save_async) share the
+    # handle; seek+IO must be atomic per operation and read-modify-write
+    # atomic per save
+    _lock: threading.RLock = field(default_factory=threading.RLock,
+                                   repr=False, compare=False)
 
     @property
     def ndim(self) -> int:
@@ -331,24 +337,27 @@ def _to_numpy(x) -> np.ndarray:
 
 
 def _read_block(sto: Storage, blk: _Block) -> np.ndarray:
-    f = sto._open()
-    f.seek(blk.values_offset)
-    n = volume(blk.size)
-    dt = sto.dtype.newbyteorder(">") if sto.byteswap else sto.dtype.newbyteorder("<")
-    arr = np.frombuffer(f.read(n * sto.dtype.itemsize), dtype=dt)
+    with sto._lock:
+        f = sto._open()
+        f.seek(blk.values_offset)
+        n = volume(blk.size)
+        dt = (sto.dtype.newbyteorder(">") if sto.byteswap
+              else sto.dtype.newbyteorder("<"))
+        arr = np.frombuffer(f.read(n * sto.dtype.itemsize), dtype=dt)
     return arr.astype(sto.dtype).reshape(blk.size)
 
 
 def _write_block(sto: Storage, blk: _Block, data: np.ndarray) -> None:
-    f = sto._open()
-    f.seek(blk.values_offset)
-    raw = np.ascontiguousarray(data.astype(sto.dtype.newbyteorder("<")))
-    f.write(raw.tobytes())
-    if sto.checksum_level == 2 and blk.checksum_offset >= 0:
-        crc = _blocked_crc(raw.tobytes(), sto.checksum_blocksize)
-        f.seek(blk.checksum_offset)
-        f.write(struct.pack("<d", float(crc)))
-    f.flush()
+    with sto._lock:
+        f = sto._open()
+        f.seek(blk.values_offset)
+        raw = np.ascontiguousarray(data.astype(sto.dtype.newbyteorder("<")))
+        f.write(raw.tobytes())
+        if sto.checksum_level == 2 and blk.checksum_offset >= 0:
+            crc = _blocked_crc(raw.tobytes(), sto.checksum_blocksize)
+            f.seek(blk.checksum_offset)
+            f.write(struct.pack("<d", float(crc)))
+        f.flush()
 
 
 def save(alpha, x, o0: str, sto: Storage, o1: str,
@@ -374,7 +383,8 @@ def save(alpha, x, o0: str, sto: Storage, o1: str,
     src = _permute_np(src, o0, o1)
 
     covered = 0
-    for blk, ifrom, isize in _block_intersections(sto, from1, size1):
+    with sto._lock:   # atomic read-modify-write across the whole save
+      for blk, ifrom, isize in _block_intersections(sto, from1, size1):
         covered += volume(isize)
         data = _read_block(sto, blk)
         # offsets of the intersection inside the source box and block
@@ -532,15 +542,17 @@ def close_storage(sto: Storage) -> None:
 
 
 def _shard_boxes(x) -> List[Tuple[Tuple[int, ...], Tuple[int, ...]]]:
-    """Unique (from, size) boxes of a global array's addressable shards."""
+    """Unique (from, size) boxes of ALL of a global array's shards —
+    including other processes' (devices_indices_map), so the declared
+    block layout is the same on every process of a multi-host mesh."""
     arr = x.re if cplx.is_carray(x) else x
     boxes = []
     seen = set()
-    for sh in arr.addressable_shards:
-        frm = tuple(sl.start or 0 for sl in sh.index)
+    for idx in arr.sharding.devices_indices_map(arr.shape).values():
+        frm = tuple(sl.start or 0 for sl in idx)
         size = tuple(
             (sl.stop if sl.stop is not None else d) - (sl.start or 0)
-            for sl, d in zip(sh.index, arr.shape))
+            for sl, d in zip(idx, arr.shape))
         if (frm, size) not in seen:
             seen.add((frm, size))
             boxes.append((frm, size))
