@@ -671,3 +671,152 @@ def stencil_matvec_soa_xin(
     )(kron.re, kron.im, blocks.re, blocks.im,
       x.re, x.im, x.re, x.im, x.re, x.im)
     return cplx.CArray(o_re, o_im)
+
+
+# ---------------------------------------------------------------------------
+# v3 kernel: software-pipelined X streaming (scratch plane rotation)
+# ---------------------------------------------------------------------------
+#
+# The plane-DMA v1 kernel fetches the x-1/x/x+1 planes as three
+# BlockSpecs, so x is read ~3x from HBM.  Here the grid walks X
+# sequentially and keeps the previous two planes in persistent VMEM
+# scratch: step s receives plane s%X, computes the output for image
+# plane (s-1)%X from (scratch0=s-2, scratch1=s-1, delivered=s), then
+# rotates the scratch.  The grid runs X+2 steps per n-chunk: steps 0 and
+# 1 write garbage to output planes X-1 and 0, which steps X and X+1
+# overwrite with the correct (wrapped) values — fully static, no
+# conditionals.  Y stays whole in the block (toroidal in-VMEM concat);
+# Z/T are in-register rolls.  HBM x-traffic: (X+2)/X ~ 1x.
+#
+# MEASURED (v5e, Wilson 8x8x16x128 x 8 rhs): 5.0 TF/s vs v1's 7.6 in the
+# same harness — like the X-inside v2, the theoretical traffic saving is
+# eaten by serialized scheduling (the sequential X walk plus scratch
+# rotation copies defeat Mosaic's DMA/compute pipelining, which on this
+# toolchain is worth more than the saved HBM reads).  Bit-identical to
+# v1; kept for re-evaluation, NOT dispatched by default.
+
+
+def _kernel_stream(kron_re, kron_im,    # SMEM
+                   b_re, b_im,          # [ndir, BI*BD, 1, Y, Z, T] @ (s-1)%X
+                   xc_re, xc_im,        # [nc, F, 1, Y, Z, T] @ s%X
+                   o_re, o_im,          # out [nc, KO, 1, Y, Z, T] @ (s-1)%X
+                   s0_re, s0_im,        # scratch: plane s-2
+                   s1_re, s1_im,        # scratch: plane s-1
+                   *, offsets, BI, BD, KI, KD, Y, Z, T, nc, kfact=None):
+
+    out_dt = o_re.dtype
+    xin = (xc_re[:, :, 0].astype(jnp.float32),
+           xc_im[:, :, 0].astype(jnp.float32))     # plane s
+    xc = (s1_re[...], s1_im[...])                  # plane s-1 (image)
+    xm = (s0_re[...], s0_im[...])                  # plane s-2
+
+    def shifted(d):
+        ax, sgn = _axis_of(offsets[d])
+        if ax == -1:
+            return xc
+        if ax == 0:
+            return xin if sgn > 0 else xm
+        if ax == 1:
+            if sgn > 0:
+                cat = lambda c: jnp.concatenate([c[:, :, 1:], c[:, :, :1]],
+                                                axis=2)
+            else:
+                cat = lambda c: jnp.concatenate([c[:, :, -1:], c[:, :, :-1]],
+                                                axis=2)
+            return (cat(xc[0]), cat(xc[1]))
+        if ax == 2:
+            sh = (Z - 1) if sgn > 0 else 1
+            return (pltpu.roll(xc[0], sh, 3), pltpu.roll(xc[1], sh, 3))
+        sh = (T - 1) if sgn > 0 else 1
+        return (pltpu.roll(xc[0], sh, 4), pltpu.roll(xc[1], sh, 4))
+
+    _matvec_body(
+        shifted,
+        lambda d, i, j: (b_re[d, i * BD + j, 0].astype(jnp.float32),
+                         b_im[d, i * BD + j, 0].astype(jnp.float32)),
+        lambda sp, i, v: (o_re.__setitem__((slice(None), sp * BI + i, 0),
+                                           v[0].astype(out_dt)),
+                          o_im.__setitem__((slice(None), sp * BI + i, 0),
+                                           v[1].astype(out_dt))),
+        lambda: jnp.zeros_like(xc[0][:, 0]),
+        kron_re, kron_im,
+        ndir=len(offsets), BI=BI, BD=BD, KI=KI, KD=KD, kfact=kfact,
+    )
+    # rotate the pipeline: (s-2) <- (s-1), (s-1) <- s
+    s0_re[...] = s1_re[...]
+    s0_im[...] = s1_im[...]
+    s1_re[...] = xin[0]
+    s1_im[...] = xin[1]
+
+
+def stencil_matvec_soa_stream(
+    blocks: cplx.CArray,
+    kron: Optional[cplx.CArray],
+    x: cplx.CArray,
+    offsets: Sequence[Tuple[int, ...]],
+    bi: int, bd: int,
+    interpret: bool = False,
+    nc: Optional[int] = None,
+) -> cplx.CArray:
+    """X-streaming variant of :func:`stencil_matvec_soa` (same contract)."""
+    ndir, FB = blocks.shape[0], blocks.shape[1]
+    X, Y, Z, T = blocks.shape[2:]
+    n = x.shape[0]
+    if kron is None:
+        kron = cplx.CArray(jnp.ones((ndir, 1, 1), jnp.float32),
+                           jnp.zeros((ndir, 1, 1), jnp.float32))
+    kron = cplx.cmap(lambda a: a.astype(jnp.float32), kron)
+    KI, KD = kron.shape[1], kron.shape[2]
+    F = KD * bd
+    KO = KI * bi
+    assert FB == bi * bd and x.shape[1] == F
+    if nc is None:
+        site = Z * T * 4 * 2
+        for c in (8, 4, 2, 1):
+            if n % c:
+                continue
+            tot = (c * F * Y * site * 2 * 2          # xc db + 2 scratch
+                   + ndir * FB * Y * site * 2        # blocks db
+                   + c * KO * Y * site * 2)          # out db
+            if tot <= 40 * 2 ** 20:
+                nc = c
+                break
+        else:
+            nc = 1
+
+    grid = (n // nc, X + 2)
+
+    xspec = pl.BlockSpec((nc, F, 1, Y, Z, T),
+                         lambda inn, s, X=X: (inn, 0, s % X, 0, 0, 0))
+    bspec = pl.BlockSpec((ndir, FB, 1, Y, Z, T),
+                         lambda inn, s, X=X: (0, 0, (s + X - 1) % X, 0, 0, 0))
+    ospec = pl.BlockSpec((nc, KO, 1, Y, Z, T),
+                         lambda inn, s, X=X: (inn, 0, (s + X - 1) % X,
+                                              0, 0, 0))
+    kspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scratch = pltpu.VMEM((nc, F, Y, Z, T), jnp.float32)
+
+    kern = functools.partial(
+        _kernel_stream, offsets=tuple(tuple(o) for o in offsets),
+        BI=bi, BD=bd, KI=KI, KD=KD, Y=Y, Z=Z, T=T, nc=nc,
+        kfact=_factor_kron(kron.re, kron.im),
+    )
+    o_re, o_im = pl.pallas_call(
+        kern,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[kspec, kspec, bspec, bspec, xspec, xspec],
+        out_specs=(pl.BlockSpec((nc, KO, 1, Y, Z, T),
+                                lambda inn, s, X=X: (inn, 0, (s + X - 1) % X,
+                                                     0, 0, 0)),) * 2,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),
+            jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),
+        ),
+        scratch_shapes=[scratch, scratch, scratch, scratch],
+        interpret=interpret,
+    )(kron.re, kron.im, blocks.re, blocks.im, x.re, x.im)
+    return cplx.CArray(o_re, o_im)

@@ -122,3 +122,25 @@ def test_bf16_storage_path():
     rel = float(jnp.max(jnp.abs(y.re.astype(jnp.float32) - ref.re))
                 / jnp.max(jnp.abs(ref.re)))
     assert rel < 0.05, rel
+
+
+def test_stream_variant_matches_reference():
+    """The X-streaming kernel variant (experimental) stays correct."""
+    import numpy as np
+    from superbblas_tpu import cplx
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.ops.stencil_pallas import (
+        stencil_matvec_soa_reference,
+        stencil_matvec_soa_stream,
+    )
+
+    op = wilson_operator((4, 4, 8, 128), mass=0.1, key=0, layout="soa",
+                         dtype=jnp.complex64)
+    rng = np.random.default_rng(0)
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((2, 12, 4, 4, 8, 128)), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 12, 4, 4, 8, 128)), jnp.float32))
+    y = stencil_matvec_soa_stream(op.blocks, op.kron, x, op.offsets, 3, 3,
+                                  interpret=True)
+    r = stencil_matvec_soa_reference(op.blocks, op.kron, x, op.offsets, 3, 3)
+    assert float(jnp.max(jnp.abs(y.re - r.re))) < 1e-4
