@@ -157,6 +157,43 @@ def bench_copy(shape=(128, 64, 64, 128)):
     return nbytes / dt / 1e9, dt
 
 
+def bench_eo_packed(lat=(8, 8, 16, 128), ncols=8):
+    """Packed-checkerboard hopping through the Pallas parity-select path
+    (the production even-odd solver's matvec)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superbblas_tpu import cplx
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.models.eo_packed import (
+        apply_hopping_packed_soa,
+        cb_pack_soa,
+        hopping_packed_soa,
+    )
+
+    op = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex64,
+                         layout="soa")
+    hop_o = hopping_packed_soa(op, 1)
+    k = jax.random.PRNGKey(1)
+    shape = (ncols, 12) + lat
+    x = cb_pack_soa(cplx.CArray(
+        jax.random.normal(k, shape, jnp.float32),
+        jax.random.normal(jax.random.fold_in(k, 9), shape, jnp.float32)), 0)
+
+    def make_fn(n):
+        def chained(xv):
+            def body(c, _):
+                return apply_hopping_packed_soa(hop_o, c, 1), ()
+            c, _ = jax.lax.scan(body, xv, None, length=n)
+            return jnp.sum(jnp.abs(c.re))
+        jitted = jax.jit(chained)
+        return lambda: jitted(x)
+
+    dt = time_chained(make_fn, n1=20, n2=120)
+    flops = hop_o.flops_per_matvec(ncols, complex_dtype=True)
+    return flops / dt / 1e9, dt
+
+
 def bench_shift(shape=(128, 64, 64, 128)):
     """Toroidal tensor shift (halo-exchange analog on one chip): the
     reference's tests/dist.cpp:303-330 shift benchmark; under a sharded
@@ -206,6 +243,13 @@ def main():
             "value": round(cp_gb, 1),
             "unit": "GB/s",
             "vs_baseline": round(cp_gb / 800.0, 4),
+        }))
+        eo_gf, eo_dt = bench_eo_packed()
+        print(json.dumps({
+            "metric": "eo_packed_hopping_gflops",
+            "value": round(eo_gf, 1),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(eo_gf / 1000.0 / 8.5, 4),  # vs full matvec
         }))
         sh_gb, sh_dt = bench_shift()
         print(json.dumps({

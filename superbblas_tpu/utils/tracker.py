@@ -101,6 +101,8 @@ def tracked(name: str, flops_fn=None, memops_fn=None):
     def deco(fn):
         @_ft.wraps(fn)
         def wrapper(*args, **kwargs):
+            if flags.get_log_level() >= 1:
+                flags.log(1, name)
             if not flags.get_track_time():
                 return fn(*args, **kwargs)
             fl = mem = 0.0

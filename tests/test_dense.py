@@ -108,3 +108,25 @@ def test_sharded_batch_cholesky():
     un = np.asarray(u)
     np.testing.assert_allclose(np.swapaxes(un, -1, -2) @ un, a,
                                rtol=1e-10, atol=1e-10)
+
+
+def test_cholesky_matrix_axis_sharded():
+    """Adversarial sharding: a MATRIX axis sharded over the mesh (the
+    case the reference's prepare_for_cholesky reorders away,
+    dense.h:504-569) — GSPMD must still produce the correct factor."""
+    import numpy as np
+
+    from superbblas_tpu.dense import cholesky
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((6, 8, 8))
+    a = a @ np.swapaxes(a, -1, -2) + 8 * np.eye(8)
+    mesh = par.make_mesh({"r": 8})
+    ad = jax.device_put(jnp.asarray(a),
+                        NamedSharding(mesh, P(None, "r", None)))
+    u = cholesky(ad, "ksc", "s", "c")
+    want = np.linalg.cholesky(a).swapaxes(-1, -2)  # upper factor
+    np.testing.assert_allclose(np.asarray(u), np.triu(np.asarray(u)),
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(u), -1, -2) @ np.asarray(u), a, atol=1e-8)
