@@ -16,6 +16,7 @@ from .multihost import initialize_distributed, make_multihost_mesh
 from .stencil_sharded import apply_stencil_soa_sharded
 from .redistribute import (
     make_plan,
+    may_need_communications,
     pack_global,
     redistribute_explicit,
     unpack_global,
@@ -43,6 +44,7 @@ __all__ = [
     "make_multihost_mesh",
     "apply_stencil_soa_sharded",
     "make_plan",
+    "may_need_communications",
     "pack_global",
     "redistribute_explicit",
     "unpack_global",

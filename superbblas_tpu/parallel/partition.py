@@ -173,6 +173,22 @@ class Partition:
                 return True
         return not rest
 
+    def are_there_repetitions(self) -> bool:
+        """Whether any lattice site is owned by more than one box
+        (reference ``are_there_repetitions``, dist.h:2123): replication
+        and halo-extended partitions repeat; Add-copies into them must
+        account for multiplicity."""
+        from ..labels import intersect_box
+
+        nz = [b for b in self.boxes if volume(b[1]) > 0]
+        for i in range(len(nz)):
+            for j in range(i + 1, len(nz)):
+                for _, isize in intersect_box(nz[i][0], nz[i][1],
+                                              nz[j][0], nz[j][1], self.dim):
+                    if volume(isize) > 0:
+                        return True
+        return False
+
     def grid_shape(self) -> Optional[Coor]:
         """If this partition is a regular block grid produced by
         ``basic_partitioning`` (no halo, no replication, one component),

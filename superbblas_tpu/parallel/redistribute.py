@@ -39,7 +39,27 @@ from ..labels import intersect_box, volume
 from .partition import Partition, box_minus
 
 __all__ = ["RedistributionPlan", "make_plan", "redistribute_explicit",
-           "pack_global", "unpack_global"]
+           "pack_global", "unpack_global", "may_need_communications"]
+
+
+def may_need_communications(src: "Partition", dst: "Partition") -> bool:
+    """Fast check whether moving data between the partitions requires any
+    cross-process traffic (reference ``may_need_communications``,
+    dist.h:2159): False when every destination box is fully contained in
+    the same rank's source box."""
+    from ..labels import intersect_box
+
+    if len(src.boxes) != len(dst.boxes):
+        return True
+    for (sf, ss), (df, ds) in zip(src.boxes, dst.boxes):
+        need = volume(ds)
+        if need == 0:
+            continue
+        got = sum(volume(isz) for _, isz in
+                  intersect_box(df, ds, sf, ss, src.dim))
+        if got < need:
+            return True
+    return False
 
 
 def _box_flat_indices(frm, size, box_from, box_shape, lat_dim) -> np.ndarray:

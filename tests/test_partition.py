@@ -152,3 +152,23 @@ def test_has_full_support():
     assert part.has_full_support()
     holed = make_hole(part, (0, 0), (1, 1))
     assert not holed.has_full_support()
+
+
+def test_repetitions_and_comm_predicates():
+    """are_there_repetitions (dist.h:2123) and may_need_communications
+    (dist.h:2159) parity."""
+    from superbblas_tpu.parallel import (
+        basic_partitioning,
+        may_need_communications,
+    )
+
+    grid = basic_partitioning("xy", (8, 8), (4, 2))
+    assert not grid.are_there_repetitions()
+    halo = basic_partitioning("xy", (8, 8), (4, 2), ext_power=(1, 0))
+    assert halo.are_there_repetitions()
+
+    assert not may_need_communications(grid, grid)
+    # gathering the halo-extended partition needs neighbor data
+    assert may_need_communications(grid, halo)
+    # shrinking back into the grid from the halo partition is local
+    assert not may_need_communications(halo, grid)
