@@ -333,3 +333,17 @@ def test_staggered_packed_hopping():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
                                atol=1e-12)
+
+
+def test_worked_example_runs():
+    """examples/wilson_workflow.py end-to-end on the test mesh."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "wilson_workflow.py")
+    spec = importlib.util.spec_from_file_location("wilson_workflow", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rel = mod.main(lat=(4, 4, 2, 2), iters=60)
+    assert rel < 1e-6
