@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from . import cplx
 
-__all__ = ["cg", "cgne", "bicgstab", "power_iteration"]
+__all__ = ["cg", "cgne", "bicgstab", "power_iteration", "lanczos",
+           "ritz_extremes", "refined_solve"]
 
 
 def _inner_c(a, b):
@@ -160,3 +161,68 @@ def power_iteration(A: Callable, x0, iters: int = 50):
     y, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.zeros(())))
     xn = jnp.sqrt(jnp.maximum(_inner_r(y, y), 1e-30))
     return lam, _scale_c((1.0 / xn, 0.0 * xn), y)
+
+
+def lanczos(A: Callable, x0, m: int = 30):
+    """m-step Lanczos tridiagonalization of Hermitian ``A`` from ``x0``.
+
+    Returns (alphas[m], betas[m-1]) — the tridiagonal coefficients whose
+    eigenvalues are the Ritz values (extreme-eigenvalue estimates the
+    reference's companion eigensolver PRIMME drives through bsr_krylov
+    applies, bsr.h:2353).  Fixed-iteration jit-compiled loop with full
+    state in the carry; no reorthogonalization (fine for extreme-pair
+    estimates at small m).
+    """
+    nrm0 = jnp.sqrt(jnp.maximum(_inner_r(x0, x0), 1e-30))
+    q = _scale_c((1.0 / nrm0, 0.0 * nrm0), x0)
+    q_prev = _zeros(x0)
+
+    def body(_, st):
+        q_prev, q, alphas, betas, k = st
+        w = A(q)
+        alpha = _inner_r(q, w)
+        w = _axpy_c((-alpha, 0.0 * alpha), q, w)
+        kb = jnp.maximum(k - 1, 0)
+        beta_prev = jnp.where(k > 0, betas[kb], 0.0)
+        w = _axpy_c((-beta_prev, 0.0 * beta_prev), q_prev, w)
+        beta = jnp.sqrt(jnp.maximum(_inner_r(w, w), 1e-30))
+        alphas = alphas.at[k].set(alpha)
+        betas = betas.at[k].set(beta)
+        q_next = _scale_c((1.0 / beta, 0.0 * beta), w)
+        return (q, q_next, alphas, betas, k + 1)
+
+    st = (q_prev, q, jnp.zeros((m,)), jnp.zeros((m,)),
+          jnp.zeros((), jnp.int32))
+    _, _, alphas, betas, _ = jax.lax.fori_loop(0, m, body, st)
+    return alphas, betas[:m - 1]
+
+
+def ritz_extremes(alphas, betas):
+    """(lambda_min, lambda_max) estimates from Lanczos coefficients."""
+    import numpy as np
+
+    T = (np.diag(np.asarray(alphas))
+         + np.diag(np.asarray(betas), 1)
+         + np.diag(np.asarray(betas), -1))
+    w = np.linalg.eigvalsh(T)
+    return float(w[0]), float(w[-1])
+
+
+def refined_solve(A: Callable, inner_solve: Callable, b, cycles: int = 3):
+    """Mixed-precision iterative refinement: repeat
+    ``x += inner_solve(r); r = b - A x`` with the residual update in the
+    operand precision — the standard lattice-QCD production scheme
+    (outer f64/f32 accuracy from an inner bf16/f32 solver; pairs with
+    the kernel's bf16 storage path).  Returns (x, |r|^2)."""
+    x = _zeros(b)
+    r = b
+
+    def body(_, st):
+        x, r = st
+        dx = inner_solve(r)
+        x = _axpy_c((1.0, 0.0), dx, x)
+        r = _axpy_c((-1.0, 0.0), A(x), b)
+        return (x, r)
+
+    x, r = jax.lax.fori_loop(0, cycles, body, (x, r))
+    return x, _inner_r(r, r)

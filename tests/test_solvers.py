@@ -85,3 +85,48 @@ def test_power_iteration():
     D = materialize(lambda u: apply_coarse(op, u), lat, (nc,))
     w = np.linalg.eigvalsh(D)
     assert abs(float(lam) - w[-1]) / abs(w[-1]) < 1e-3
+
+
+def test_lanczos_extreme_ritz_values():
+    from superbblas_tpu.models.coarse import coarse_operator
+
+    lat, nc = (4, 4), 4
+    op = coarse_operator(lat, block_size=nc, mass=6.0, key=5,
+                         dtype=jnp.complex128)
+    rng = np.random.default_rng(4)
+    x0 = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, 1))),
+                     jnp.asarray(rng.standard_normal(lat + (nc, 1))))
+    al, be = solvers.lanczos(lambda u: apply_coarse(op, u), x0, m=40)
+    lmin, lmax = solvers.ritz_extremes(al, be)
+
+    from test_models import materialize
+
+    D = materialize(lambda u: apply_coarse(op, u), lat, (nc,))
+    w = np.linalg.eigvalsh(D)
+    assert abs(lmax - w[-1]) / abs(w[-1]) < 1e-6
+    assert abs(lmin - w[0]) / abs(w[-1]) < 1e-3
+
+
+def test_refined_solve_recovers_f64_accuracy():
+    """Outer f64 refinement over an inner f32 CG reaches ~f64 residual."""
+    from superbblas_tpu.models.coarse import coarse_operator
+
+    lat, nc = (4, 4), 4
+    op64 = coarse_operator(lat, block_size=nc, mass=8.0, key=2,
+                           dtype=jnp.complex128)
+    rng = np.random.default_rng(5)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, 1))),
+                    jnp.asarray(rng.standard_normal(lat + (nc, 1))))
+    A64 = lambda v: apply_coarse(op64, v)
+
+    to32 = lambda v: cplx.cmap(lambda a: a.astype(jnp.float32), v)
+    to64 = lambda v: cplx.cmap(lambda a: a.astype(jnp.float64), v)
+
+    def inner(r):
+        x32, _, _ = solvers.cg(lambda v: to32(A64(to64(v))), to32(r),
+                               tol=1e-4, maxiter=100)
+        return to64(x32)
+
+    x, rs = solvers.refined_solve(A64, inner, b, cycles=4)
+    rel = float(jnp.sqrt(rs / solvers._inner_r(b, b)))
+    assert rel < 1e-10, rel
