@@ -177,3 +177,26 @@ def test_fuzz_random_toroidal_partitions(mesh1d):
             blk = np.asarray(out_stack)[r][tuple(slice(0, s) for s in size)]
             np.testing.assert_allclose(blk, want, atol=1e-12,
                                        err_msg=f"case {case} rank {r}")
+
+
+def test_components_partition_redistribution(mesh1d):
+    """Multi-component partitions (the reference's multiple devices per
+    rank, dist.h:205-241; tests/bsr.cpp --components=2): each component
+    box maps to its own mesh device and the explicit path moves data
+    between a 4-proc x 2-component layout and a plain 8-way grid."""
+    from superbblas_tpu.parallel import Partition, basic_partitioning
+
+    dim = (8, 8)
+    src = basic_partitioning("xy", dim, (4, 1), ncomponents=2)
+    assert src.ncomponents == 2 and src.nprocs == 4 and len(src.boxes) == 8
+    assert src.has_full_support() and not src.are_there_repetitions()
+
+    dst = basic_partitioning("xy", dim, (1, 8))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(dim)
+    got = run_case(mesh1d, src, dst, x)
+    np.testing.assert_array_equal(got, x)
+
+    # and back
+    got2 = run_case(mesh1d, dst, src, x)
+    np.testing.assert_array_equal(got2, x)
