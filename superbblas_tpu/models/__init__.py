@@ -17,6 +17,12 @@ from .clover import (
 )
 from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 from .coarse import apply_coarse, coarse_operator
+from .multigrid import (
+    build_prolongator,
+    coarse_matrix,
+    two_grid_error_contraction,
+    two_grid_preconditioner,
+)
 from .eo_packed import (
     apply_hopping_packed,
     cb_pack,
@@ -48,6 +54,10 @@ __all__ = [
     "schur_matvec",
     "apply_coarse",
     "coarse_operator",
+    "build_prolongator",
+    "coarse_matrix",
+    "two_grid_error_contraction",
+    "two_grid_preconditioner",
     "apply_hopping_packed",
     "cb_pack",
     "cb_unpack",

@@ -1,0 +1,64 @@
+"""Two-grid aggregation multigrid (models/multigrid.py).
+
+Oracles are the defining algebraic properties: block-orthonormal
+prolongator, Hermitian Galerkin coarse operator, EXACT elimination of
+range(P) errors by one coarse correction, and a contraction factor < 1
+with one smoothing step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superbblas_tpu import cplx
+from superbblas_tpu.models import wilson_operator
+from superbblas_tpu.models.multigrid import (
+    _A_normal,
+    _prolong,
+    build_prolongator,
+    coarse_matrix,
+    two_grid_error_contraction,
+    two_grid_preconditioner,
+)
+from superbblas_tpu.solvers import power_iteration
+
+
+def setup(lat=(4, 4, 4, 4), mass=0.05, K=4):
+    op = wilson_operator(lat, mass=mass, key=3, dtype=jnp.complex128)
+    P = build_prolongator(op, K=K, setup_iters=10)
+    A_c = coarse_matrix(op, P)
+    return op, P, A_c
+
+
+def test_two_grid_properties():
+    op, P, A_c = setup()
+    # block-orthonormal prolongator
+    pm = np.asarray(P.re) + 1j * np.asarray(P.im)
+    g = np.einsum("...di,...dj->...ij", np.conj(pm), pm)
+    assert np.abs(g - np.eye(P.shape[-1])).max() < 1e-12
+    # Hermitian Galerkin coarse operator
+    ac = np.asarray(A_c.re) + 1j * np.asarray(A_c.im)
+    assert np.abs(ac - ac.conj().T).max() < 1e-10
+
+    # Galerkin exactness: errors in range(P) die in one coarse correction
+    rng = np.random.default_rng(0)
+    clat = P.shape[:4]
+    c = cplx.CArray(jnp.asarray(rng.standard_normal(clat + (4,))),
+                    jnp.asarray(rng.standard_normal(clat + (4,))))
+    e = _prolong(P, c, (2, 2, 2, 2))
+    prec = two_grid_preconditioner(op, P, A_c)
+    corr = prec(_A_normal(op, e))
+    rel = np.sqrt(float(jnp.sum((e.re - corr.re) ** 2
+                                + (e.im - corr.im) ** 2))
+                  / float(jnp.sum(e.re ** 2 + e.im ** 2)))
+    assert rel < 1e-10, rel
+
+
+def test_two_grid_contracts_with_smoothing():
+    op, P, A_c = setup()
+    rng = np.random.default_rng(1)
+    lat = tuple(op.dim_d)
+    x0 = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3))),
+                     jnp.asarray(rng.standard_normal(lat + (4, 3))))
+    lam, _ = power_iteration(lambda u: _A_normal(op, u), x0, iters=20)
+    rho = two_grid_error_contraction(op, P, A_c, omega=float(0.8 / float(lam)))
+    assert rho < 0.85, rho
