@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from . import cplx
 
-__all__ = ["cg", "cgne", "bicgstab", "power_iteration", "lanczos",
+__all__ = ["cg", "cgne", "bicgstab", "pcg", "power_iteration", "lanczos",
            "ritz_extremes", "refined_solve"]
 
 
@@ -226,3 +226,38 @@ def refined_solve(A: Callable, inner_solve: Callable, b, cycles: int = 3):
 
     x, r = jax.lax.fori_loop(0, cycles, body, (x, r))
     return x, _inner_r(r, r)
+
+
+def pcg(A: Callable, M: Callable, b, x0=None, tol: float = 1e-8,
+        maxiter: int = 100):
+    """Preconditioned CG for Hermitian PD ``A`` with SPD preconditioner
+    ``M`` (e.g. the two-grid cycle of models/multigrid.py).  Returns
+    (x, |r|^2, iterations).  Reference analog: the preconditioned solver
+    loops Chroma's multigrid stacks drive over bsr_krylov handles
+    (bsr.h:2353)."""
+    x = _zeros(b) if x0 is None else x0
+    r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
+    z = M(r)
+    p = z
+    rz = _inner_r(r, z)
+    bs = jnp.maximum(_inner_r(b, b), 1e-30)
+
+    def cond(st):
+        x, r, z, p, rz, k = st
+        return jnp.logical_and(k < maxiter, _inner_r(r, r) / bs > tol * tol)
+
+    def body(st):
+        x, r, z, p, rz, k = st
+        ap = A(p)
+        alpha = rz / jnp.maximum(_inner_r(p, ap), 1e-30)
+        x = _axpy_c((alpha, 0.0 * alpha), p, x)
+        r = _axpy_c((-alpha, 0.0 * alpha), ap, r)
+        z = M(r)
+        rz_new = _inner_r(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = _axpy_c((beta, 0.0 * beta), p, z)
+        return (x, r, z, p, rz_new, k + 1)
+
+    st = (x, r, z, p, rz, jnp.zeros((), jnp.int32))
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, st)
+    return x, _inner_r(r, r), k
