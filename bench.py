@@ -119,7 +119,8 @@ def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
         jitted = jax.jit(chained)
         return lambda: jitted(x)
 
-    dt = time_chained(make_fn, n1=10, n2=60)
+    n1, n2 = (40, 240) if ncols <= 4 else (10, 60)
+    dt = time_chained(make_fn, n1=n1, n2=n2)
     flops = op.flops_per_matvec(ncols, complex_dtype=True)
     memops = op.memops_per_matvec(ncols, itemsize=8)
     return flops / dt / 1e9, memops / dt / 1e9, dt

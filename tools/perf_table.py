@@ -67,10 +67,11 @@ def main():
     print(f"{'batched GEMM 8x1024^3 bf16':44s} {dt*1e3:8.3f}ms "
           f"{gf/1e3:10.1f} TFLOP/s")
 
-    bsr_gf, bsr_gb, bsr_dt = bench_bsr()
-    ncols = 8
-    print(f"{'Wilson Kron-BSR matvec (per rhs)':44s} "
-          f"{bsr_dt/ncols*1e6:8.1f}us {bsr_gf/1e3:10.2f} TFLOP/s")
+    # per-rhs sweep (reference hist: 1/12/48 rhs, tests/Makefile:100-121)
+    for ncols in (1, 12, 48):
+        gf, gb, dt = bench_bsr(ncols=ncols)
+        print(f"{'Wilson matvec, %2d rhs (per rhs)' % ncols:44s} "
+              f"{dt/ncols*1e6:8.1f}us {gf/1e3:10.2f} TFLOP/s")
 
 
 if __name__ == "__main__":
