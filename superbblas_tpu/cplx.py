@@ -72,6 +72,15 @@ class CArray(NamedTuple):
         return scale(other, self)
 
 
+# Allow CArray pytrees through jax.export (the AOT layer serializes
+# lowered functions whose signatures carry CArrays)
+try:
+    jax.export.register_namedtuple_serialization(
+        CArray, serialized_name="superbblas_tpu.cplx.CArray")
+except (AttributeError, ValueError):
+    pass
+
+
 def is_carray(x) -> bool:
     return isinstance(x, CArray)
 

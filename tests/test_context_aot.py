@@ -42,3 +42,26 @@ def test_aot_compile_and_export(tmp_path):
     aot.export_compiled(f, (a, b), p)
     g = aot.load_exported(p)
     np.testing.assert_allclose(np.asarray(g(a, b)), np.asarray(f(a, b)))
+
+
+def test_aot_export_carray_step(tmp_path):
+    """CArray-signature functions (the flagship step) export/reload
+    through jax.export (on TPU this round-trips the Pallas kernel
+    bit-exactly; here the CPU fallback path)."""
+    import numpy as np
+
+    from superbblas_tpu import cplx
+    from superbblas_tpu.models import apply_wilson, wilson_operator
+
+    lat = (4, 4, 2, 2)
+    op = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex128)
+    rng = np.random.default_rng(0)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3, 2))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3, 2))))
+    fn = lambda v: apply_wilson(op, v)
+    want = fn(x)
+    path = str(tmp_path / "step.bin")
+    aot.export_compiled(fn, (x,), path)
+    got = aot.load_exported(path)(x)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               atol=1e-12)
