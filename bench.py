@@ -119,7 +119,7 @@ def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
         jitted = jax.jit(chained)
         return lambda: jitted(x)
 
-    n1, n2 = (40, 240) if ncols <= 4 else (10, 60)
+    n1, n2 = (40, 240) if ncols <= 4 else (20, 120)
     dt = time_chained(make_fn, n1=n1, n2=n2)
     flops = op.flops_per_matvec(ncols, complex_dtype=True)
     memops = op.memops_per_matvec(ncols, itemsize=8)
