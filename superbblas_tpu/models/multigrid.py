@@ -76,7 +76,10 @@ def _unaggregate(x: cplx.CArray, block: Tuple[int, ...], sc=(4, 3)):
 def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
                       setup_iters: int = 8, key=0):
     """Near-null aggregation prolongator P: CArray [*clat, dof, K] with
-    block-orthonormal columns (P^H P = I per aggregate)."""
+    block-orthonormal columns (P^H P = I per aggregate).  Reference
+    analog: the multigrid setup its consumers run over bsr_krylov
+    applies (bsr.h:2353) with coarse operators in the create_bsr regime
+    (bsr.h:2287)."""
     lat = tuple(op.dim_d)
     rng = np.random.default_rng(key)
     shape = lat + (4, 3, K)
@@ -122,7 +125,8 @@ def _restrict(P: cplx.CArray, x: cplx.CArray, block):
 
 def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2)):
     """Galerkin A_c = P^H (D^H D) P as a dense [M, M] split-complex pair
-    (M = n_aggregates * K), built from ONE batched operator apply."""
+    (M = n_aggregates * K), built from ONE batched operator apply
+    (bsr_krylov with the coarse basis as columns, bsr.h:2353)."""
     clat = P.shape[:4]
     K = P.shape[-1]
     M = volume(clat) * K
@@ -137,10 +141,15 @@ def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2)):
 
 def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
                             block=(2, 2, 2, 2), omega: float = 0.0):
-    """M r ~ A^{-1} r: coarse correction through the dense coarse solve,
-    plus an optional post-smoothing Richardson step of weight ``omega``."""
+    """M r ~ A^{-1} r: coarse correction through the dense coarse solve
+    (the dense-layer regime, dense.h:1020-1160), plus an optional
+    post-smoothing Richardson step of weight ``omega``."""
     M = A_c.shape[0]
-    a2 = (jnp.block([[A_c.re, -A_c.im], [A_c.im, A_c.re]]))
+    # factorize the constant coarse matrix ONCE (A_c is Hermitian PD, so
+    # its real embedding is SPD): every preconditioner application then
+    # costs a triangular solve, not a fresh O(M^3) factorization
+    a2 = jnp.block([[A_c.re, -A_c.im], [A_c.im, A_c.re]])
+    chol = jax.scipy.linalg.cho_factor(a2)
     clat = P.shape[:4]
     K = P.shape[-1]
 
@@ -150,7 +159,8 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
     def prec(r):
         rc = _restrict(P, r, block)
         flat = cplx.cmap(lambda a: a.reshape(M), rc)
-        sol2 = jnp.linalg.solve(a2, jnp.concatenate([flat.re, flat.im]))
+        sol2 = jax.scipy.linalg.cho_solve(
+            chol, jnp.concatenate([flat.re, flat.im]))
         c = cplx.CArray(sol2[:M].reshape(clat + (K,)),
                         sol2[M:].reshape(clat + (K,)))
         x = _prolong(P, c, block)
@@ -166,7 +176,8 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
 def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
                                omega: float = 0.0, key: int = 0) -> float:
     """||(I - M A) e|| / ||e|| on a random error vector — the two-grid
-    convergence factor (< 1 means the cycle contracts)."""
+    convergence factor (< 1 means the cycle contracts; the quality metric
+    of the setup in bsr.h:2353-consuming multigrid stacks)."""
     rng = np.random.default_rng(key)
     shape = tuple(op.dim_d) + (4, 3)
     e = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
@@ -176,8 +187,6 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
         return _A_normal(op, x)
 
     prec = two_grid_preconditioner(op, P, A_c, block, omega)
-    e2 = e
-    ae = A(e2)
-    corr = prec(ae)
-    e_new = cplx.CArray(e2.re - corr.re, e2.im - corr.im)
+    corr = prec(A(e))
+    e_new = cplx.CArray(e.re - corr.re, e.im - corr.im)
     return float(jnp.sqrt(_inner(e_new, e_new) / _inner(e, e)))

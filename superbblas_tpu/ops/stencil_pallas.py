@@ -770,6 +770,8 @@ def stencil_matvec_soa_stream(
     F = KD * bd
     KO = KI * bi
     assert FB == bi * bd and x.shape[1] == F
+    if nc is not None and n % nc:
+        raise ValueError(f"nc={nc} must divide the column count n={n}")
     if nc is None:
         site = Z * T * 4 * 2
         for c in (8, 4, 2, 1):
@@ -809,9 +811,7 @@ def stencil_matvec_soa_stream(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         in_specs=[kspec, kspec, bspec, bspec, xspec, xspec],
-        out_specs=(pl.BlockSpec((nc, KO, 1, Y, Z, T),
-                                lambda inn, s, X=X: (inn, 0, (s + X - 1) % X,
-                                                     0, 0, 0)),) * 2,
+        out_specs=(ospec, ospec),
         out_shape=(
             jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),
             jax.ShapeDtypeStruct((n, KO, X, Y, Z, T), x.dtype),

@@ -181,6 +181,10 @@ class Partition:
         from ..labels import intersect_box
 
         nz = [b for b in self.boxes if volume(b[1]) > 0]
+        # a single box wrapping past the full extent repeats sites by itself
+        for _, size in nz:
+            if any(s > d for s, d in zip(size, self.dim)):
+                return True
         for i in range(len(nz)):
             for j in range(i + 1, len(nz)):
                 for _, isize in intersect_box(nz[i][0], nz[i][1],

@@ -178,38 +178,53 @@ def lanczos(A: Callable, x0, m: int = 30):
     q_prev = _zeros(x0)
 
     def body(_, st):
-        q_prev, q, alphas, betas, k = st
+        q_prev, q, alphas, betas, k, done = st
         w = A(q)
         alpha = _inner_r(q, w)
         w = _axpy_c((-alpha, 0.0 * alpha), q, w)
         kb = jnp.maximum(k - 1, 0)
         beta_prev = jnp.where(k > 0, betas[kb], 0.0)
         w = _axpy_c((-beta_prev, 0.0 * beta_prev), q_prev, w)
-        beta = jnp.sqrt(jnp.maximum(_inner_r(w, w), 1e-30))
-        alphas = alphas.at[k].set(alpha)
-        betas = betas.at[k].set(beta)
+        bsq = _inner_r(w, w)
+        beta = jnp.sqrt(jnp.maximum(bsq, 1e-30))
+        # breakdown (Krylov space exhausted): freeze the recurrence so
+        # trailing alphas/betas stay zero and ritz_extremes can trim
+        alphas = jnp.where(done, alphas, alphas.at[k].set(alpha))
+        betas = jnp.where(done, betas, betas.at[k].set(beta))
+        done = jnp.logical_or(done, bsq < 1e-24)
         q_next = _scale_c((1.0 / beta, 0.0 * beta), w)
-        return (q, q_next, alphas, betas, k + 1)
+        q_next = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), q, q_next)
+        return (q, q_next, alphas, betas, k + 1, done)
 
     st = (q_prev, q, jnp.zeros((m,)), jnp.zeros((m,)),
-          jnp.zeros((), jnp.int32))
-    _, _, alphas, betas, _ = jax.lax.fori_loop(0, m, body, st)
+          jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    _, _, alphas, betas, _, done = jax.lax.fori_loop(0, m, body, st)
+    betas = jnp.where(done, betas, betas)   # value already frozen
     return alphas, betas[:m - 1]
 
 
 def ritz_extremes(alphas, betas):
-    """(lambda_min, lambda_max) estimates from Lanczos coefficients."""
+    """(lambda_min, lambda_max) estimates from Lanczos coefficients,
+    trimmed at the first breakdown (zero beta row) so exhausted Krylov
+    spaces do not inject spurious zero eigenvalues.  Pairs with
+    :func:`lanczos` (the PRIMME-companion estimate over bsr_krylov
+    applies, bsr.h:2353)."""
     import numpy as np
 
-    T = (np.diag(np.asarray(alphas))
-         + np.diag(np.asarray(betas), 1)
-         + np.diag(np.asarray(betas), -1))
+    a = np.asarray(alphas)
+    b = np.asarray(betas)
+    nz = np.nonzero(np.abs(b) < 1e-12)[0]
+    m = (int(nz[0]) + 1) if nz.size else a.shape[0]
+    a, b = a[:m], b[:max(m - 1, 0)]
+    T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
     w = np.linalg.eigvalsh(T)
     return float(w[0]), float(w[-1])
 
 
 def refined_solve(A: Callable, inner_solve: Callable, b, cycles: int = 3):
-    """Mixed-precision iterative refinement: repeat
+    """Mixed-precision iterative refinement (driven over bsr_krylov-class
+    applies in reference terms, bsr.h:2353): repeat
     ``x += inner_solve(r); r = b - A x`` with the residual update in the
     operand precision — the standard lattice-QCD production scheme
     (outer f64/f32 accuracy from an inner bf16/f32 solver; pairs with
@@ -240,14 +255,15 @@ def pcg(A: Callable, M: Callable, b, x0=None, tol: float = 1e-8,
     z = M(r)
     p = z
     rz = _inner_r(r, z)
+    rn = _inner_r(r, r)
     bs = jnp.maximum(_inner_r(b, b), 1e-30)
 
     def cond(st):
-        x, r, z, p, rz, k = st
-        return jnp.logical_and(k < maxiter, _inner_r(r, r) / bs > tol * tol)
+        x, r, z, p, rz, rn, k = st
+        return jnp.logical_and(k < maxiter, rn / bs > tol * tol)
 
     def body(st):
-        x, r, z, p, rz, k = st
+        x, r, z, p, rz, rn, k = st
         ap = A(p)
         alpha = rz / jnp.maximum(_inner_r(p, ap), 1e-30)
         x = _axpy_c((alpha, 0.0 * alpha), p, x)
@@ -256,8 +272,8 @@ def pcg(A: Callable, M: Callable, b, x0=None, tol: float = 1e-8,
         rz_new = _inner_r(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = _axpy_c((beta, 0.0 * beta), p, z)
-        return (x, r, z, p, rz_new, k + 1)
+        return (x, r, z, p, rz_new, _inner_r(r, r), k + 1)
 
-    st = (x, r, z, p, rz, jnp.zeros((), jnp.int32))
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, st)
-    return x, _inner_r(r, r), k
+    st = (x, r, z, p, rz, rn, jnp.zeros((), jnp.int32))
+    x, r, z, p, rz, rn, k = jax.lax.while_loop(cond, body, st)
+    return x, rn, k

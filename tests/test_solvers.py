@@ -130,3 +130,12 @@ def test_refined_solve_recovers_f64_accuracy():
     x, rs = solvers.refined_solve(A64, inner, b, cycles=4)
     rel = float(jnp.sqrt(rs / solvers._inner_r(b, b)))
     assert rel < 1e-10, rel
+
+
+def test_lanczos_breakdown_no_spurious_zero():
+    """Krylov exhaustion (A = 2I: one-step breakdown) must not inject a
+    spurious zero eigenvalue."""
+    x0 = cplx.CArray(jnp.ones((4, 4, 3, 1)), jnp.zeros((4, 4, 3, 1)))
+    al, be = solvers.lanczos(lambda v: cplx.scale(2.0, v), x0, m=10)
+    lmin, lmax = solvers.ritz_extremes(al, be)
+    assert abs(lmin - 2.0) < 1e-10 and abs(lmax - 2.0) < 1e-10
