@@ -13,7 +13,14 @@ environment (dispatch+fetch ~25 ms), so each measurement chains the
 workload N times inside one jitted lax.scan, fetches a scalar, and uses
 two-point timing ((t(N2)-t(N1)) / (N2-N1)) to cancel the fixed latency.
 
---all additionally prints BSR-matvec and permute-copy lines.
+--all additionally prints:
+  bsr_wilson_matvec_gflops        SoA/Pallas Wilson matvec (dense-flop
+                                  model; vs_baseline = model GB/s / 800)
+  permute_copy_bandwidth          Pallas tiled label-reversal transpose
+  eo_packed_hopping_gflops        packed even-odd hopping (vs_baseline =
+                                  rate relative to the full matvec's
+                                  8.5 TF/s reference point)
+  shift_redistribution_bandwidth  toroidal shift (halo-class move)
 """
 
 import json

@@ -143,3 +143,31 @@ def test_carray_save_load(tmp_path):
 def test_crc_is_zlib_compatible():
     data = b"superbblas-tpu"
     assert S._crc(data) == zlib.crc32(data) & 0xFFFFFFFF
+
+
+def test_big_endian_file_read(tmp_path):
+    """Byte-swapped (big-endian) S3T files are detected by the magic and
+    read correctly (storage.h:737-749)."""
+    import struct
+
+    path = str(tmp_path / "be.s3t")
+    dim = (2, 3)
+    vals = (np.arange(6) * 1.25).reshape(dim)
+    meta = b"be!"
+    pad = b"\x00" * ((8 - len(meta) % 8) % 8)
+    hdr = struct.pack(">6i", 314, 0, 1, 0, 2, len(meta)) + meta + pad
+    hdr += np.asarray(dim, dtype=">f8").tobytes()
+    hdr += struct.pack(">d", float(64 * 1024 * 1024))
+    hdr += struct.pack(">d", 1.0)                      # one chunk
+    chunk = struct.pack(">d", 1.0)                     # one block
+    chunk += np.asarray((0, 0), dtype=">f8").tobytes()
+    chunk += np.asarray(dim, dtype=">f8").tobytes()
+    chunk += vals.astype(">f8").tobytes()
+    with open(path, "wb") as f:
+        f.write(hdr + chunk)
+
+    sto = S.open_storage(path, mode="r")
+    assert sto.byteswap and sto.dim == dim and sto.metadata == "be!"
+    got = S.load(1.0, sto, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, vals)
+    S.close_storage(sto)
