@@ -19,6 +19,7 @@ from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 from .coarse import apply_coarse, coarse_operator
 from .multigrid import (
     build_prolongator,
+    coarse_bsr_operator,
     coarse_matrix,
     two_grid_error_contraction,
     two_grid_preconditioner,
@@ -56,6 +57,7 @@ __all__ = [
     "coarse_operator",
     "build_prolongator",
     "coarse_matrix",
+    "coarse_bsr_operator",
     "two_grid_error_contraction",
     "two_grid_preconditioner",
     "apply_hopping_packed",

@@ -34,8 +34,8 @@ from ..bsr import BSROperator
 from ..labels import volume
 from .wilson import _inner, apply_wilson, apply_wilson_dagger
 
-__all__ = ["build_prolongator", "coarse_matrix", "two_grid_preconditioner",
-           "two_grid_error_contraction"]
+__all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
+           "two_grid_preconditioner", "two_grid_error_contraction"]
 
 
 def _A_normal(op, x):
@@ -190,3 +190,59 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
     corr = prec(A(e))
     e_new = cplx.CArray(e.re - corr.re, e.im - corr.im)
     return float(jnp.sqrt(_inner(e_new, e_new) / _inner(e, e)))
+
+
+def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
+                        block=(2, 2, 2, 2)) -> BSROperator:
+    """The Galerkin coarse operator as a TRUE coarse-lattice BSR stencil.
+
+    A_c = P^H (D^H D) P over contiguous width->=2 aggregates is a regular
+    coarse-lattice stencil with KxK dense blocks spanning the {0, +-1}^4
+    displacement set (D^H D reaches 2 fine hops, whose bent paths couple
+    corner aggregates) — exactly the ``coarse_operator``/create_bsr
+    regime (bsr.h:2287).  Built by reading the dense Galerkin matrix off
+    per coarse displacement, with a completeness check; enables recursive
+    multilevel use of the whole BSR machinery on the coarse level.
+    """
+    from ..bsr import bsr_from_stencil
+
+    A_c = coarse_matrix(op, P, block)
+    clat = tuple(P.shape[:4])
+    K = P.shape[-1]
+    Vc = volume(clat)
+    ac = np.asarray(A_c.re) + 1j * np.asarray(A_c.im)
+    ac = ac.reshape(clat + (K,) + clat + (K,))
+
+    # D^H D reaches 2 fine hops, so the coarse stencil spans the FULL
+    # {0, +-1}^4 displacement set (corner couplings from bent 2-hop
+    # paths) — still a regular stencil the BSR engine handles natively.
+    import itertools as _it
+
+    choices = []
+    for mu in range(4):
+        if clat[mu] == 1:
+            choices.append((0,))
+        elif clat[mu] == 2:
+            choices.append((0, 1))     # +1 and -1 are the same neighbor
+        else:
+            choices.append((0, 1, -1))
+    offsets = [off for off in _it.product(*choices)]
+    nblk = len(offsets)
+    blocks = np.zeros(clat + (nblk, K, K), dtype=complex)
+    for k, off in enumerate(offsets):
+        for c1 in np.ndindex(*clat):
+            c2 = tuple((a + o) % d for a, o, d in zip(c1, off, clat))
+            blocks[c1 + (k,)] = ac[c1 + (slice(None),) + c2]
+
+    # verify nothing outside the stencil was dropped (structure check)
+    total = float(np.abs(ac).sum())
+    kept = float(np.abs(blocks).sum())
+    if not np.isclose(total, kept, rtol=1e-8):
+        raise ValueError(
+            "Galerkin coarse operator is not nearest-neighbor on the "
+            "coarse lattice (aggregate width < stencil reach?)")
+
+    return bsr_from_stencil(
+        "xyztc", "xyztC", clat, {"c": K}, {"C": K}, offsets,
+        cplx.CArray(jnp.asarray(blocks.real), jnp.asarray(blocks.imag)),
+    )
