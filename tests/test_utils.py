@@ -126,3 +126,29 @@ def test_memory_leak_check():
     assert raised
     del tmp
     check_for_memory_leaks(base)   # clean after release
+
+
+def test_debug_ladder_fires_on_distributed_copy(monkeypatch):
+    """SBT_DEBUG>=2 replays every distributed copy through the mock-index
+    verifier (the reference's dist.h:2282-2285 hook)."""
+    import jax.numpy as jnp
+
+    from superbblas_tpu import flags, parallel
+    from superbblas_tpu.utils import testing as T
+
+    calls = []
+    orig = T.verify_copy
+    monkeypatch.setattr(T, "verify_copy",
+                        lambda *a, **k: (calls.append(a), orig(*a, **k))[1])
+    monkeypatch.setenv("SBT_DEBUG", "2")
+    flags.clear_cache()
+    try:
+        x = jnp.arange(16.0).reshape(4, 4)
+        y = jnp.zeros((4, 4))
+        out = parallel.copy(1.0, x, "ab", y, "ba")
+        assert len(calls) == 1
+        import numpy as np
+
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x).T)
+    finally:
+        flags.clear_cache()

@@ -67,6 +67,27 @@ def main():
     print(f"{'batched GEMM 8x1024^3 bf16':44s} {dt*1e3:8.3f}ms "
           f"{gf/1e3:10.1f} TFLOP/s")
 
+    # dense.cpp regime: batched small matrices (12x12 per lattice site)
+    def make_small_gemm(n):
+        a = jax.random.normal(jax.random.PRNGKey(2), (4096, 12, 12),
+                              jnp.float32)
+
+        @jax.jit
+        def f(v):
+            def body(c, _):
+                return jnp.einsum("kij,kjn->kin", a, c,
+                                  precision=jax.lax.Precision.HIGHEST), ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(c)
+        x = jax.random.normal(jax.random.PRNGKey(3), (4096, 12, 12),
+                              jnp.float32)
+        return lambda: float(f(x))
+
+    dt = two_point(make_small_gemm, 20, 120)
+    gf = 2 * 4096 * 12 ** 3 / dt / 1e9
+    print(f"{'batched 12x12 GEMM (dense.cpp regime)':44s} {dt*1e3:8.3f}ms "
+          f"{gf/1e3:10.2f} TFLOP/s")
+
     # per-rhs sweep (reference hist: 1/12/48 rhs, tests/Makefile:100-121)
     for ncols in (1, 12, 48):
         gf, gb, dt = bench_bsr(ncols=ncols)
