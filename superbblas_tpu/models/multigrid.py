@@ -38,18 +38,31 @@ __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
            "two_grid_preconditioner", "two_grid_error_contraction"]
 
 
+def _blk_shape(op: BSROperator) -> Tuple[int, ...]:
+    """Canonical per-site block shape: (KD, BD) for Kronecker operators
+    (Wilson: (4, 3)), (BD,) for plain stencils (coarse BSR: (K,))."""
+    if op.kron is not None:
+        return (volume(op.kd), volume(op.bd))
+    return (volume(op.bd),)
+
+
 def _A_normal(op, x):
-    """A = D^H D, accepting fields with or without a trailing column axis
-    (the stencil apply expects [*lat, S, C, n])."""
-    squeeze = x.ndim == 6
+    """A = D^H D for ANY square (AoS) stencil operator on canonical
+    fields [*lat, *blk(, N)], with or without the trailing column axis."""
+    from ..bsr import _apply_stencil
+    from .wilson import adjoint_operator as _adj
+
+    blk = _blk_shape(op)
+    squeeze = x.ndim == 4 + len(blk)
     if squeeze:
         x = cplx.cmap(lambda a: a[..., None], x)
-    y = apply_wilson_dagger(op, apply_wilson(op, x))
+    y = _apply_stencil(_adj(op), _apply_stencil(op, x))
     return cplx.cmap(lambda a: a[..., 0], y) if squeeze else y
 
 
-def _aggregate(x: cplx.CArray, block: Tuple[int, ...]):
-    """[*lat, S, C(, N)] -> [*clat, dof(, N)] with dof = prod(block)*S*C."""
+def _aggregate(x: cplx.CArray, block: Tuple[int, ...], n_blk: int = 2):
+    """[*lat, *blk(, N)] -> [*clat, dof(, N)], dof = prod(block)*prod(blk)
+    (``n_blk`` = number of per-site block axes)."""
     def ag(v):
         lat = v.shape[:4]
         rest = v.shape[4:]
@@ -57,8 +70,8 @@ def _aggregate(x: cplx.CArray, block: Tuple[int, ...]):
         v = v.reshape((c[0], block[0], c[1], block[1], c[2], block[2],
                        c[3], block[3]) + rest)
         v = jnp.moveaxis(v, (1, 3, 5, 7), (4, 5, 6, 7))
-        dof = volume(block) * rest[0] * rest[1]
-        return v.reshape(tuple(c) + (dof,) + rest[2:])
+        dof = volume(block) * volume(rest[:n_blk])
+        return v.reshape(tuple(c) + (dof,) + rest[n_blk:])
     return cplx.cmap(ag, x)
 
 
@@ -66,10 +79,10 @@ def _unaggregate(x: cplx.CArray, block: Tuple[int, ...], sc=(4, 3)):
     def ua(v):
         c = v.shape[:4]
         rest = v.shape[5:]
-        v = v.reshape(c + tuple(block) + sc + rest)
+        v = v.reshape(c + tuple(block) + tuple(sc) + rest)
         v = jnp.moveaxis(v, (4, 5, 6, 7), (1, 3, 5, 7))
         lat = tuple(ci * b for ci, b in zip(c, block))
-        return v.reshape(lat + sc + rest)
+        return v.reshape(lat + tuple(sc) + rest)
     return cplx.cmap(ua, x)
 
 
@@ -81,14 +94,15 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
     applies (bsr.h:2353) with coarse operators in the create_bsr regime
     (bsr.h:2287)."""
     lat = tuple(op.dim_d)
+    blk = _blk_shape(op)
     rng = np.random.default_rng(key)
-    shape = lat + (4, 3, K)
+    shape = lat + blk + (K,)
     v = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
                     jnp.asarray(rng.standard_normal(shape)))
 
     # Richardson smoothing of A = D^H D toward the near-kernel
     def A(x):
-        return apply_wilson_dagger(op, apply_wilson(op, x))
+        return _A_normal(op, x)
 
     from ..solvers import power_iteration
 
@@ -101,7 +115,7 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
     # aggregate + batched QR orthonormalization (complex via the dense
     # layer's interleaved real embedding is overkill here: QR per
     # aggregate on the [dof, K] complex matrix done in numpy setup)
-    agg = _aggregate(v, block)                   # [*clat, dof, K]
+    agg = _aggregate(v, block, n_blk=len(blk))   # [*clat, dof, K]
     a_np = np.asarray(agg.re) + 1j * np.asarray(agg.im)
     q, _ = np.linalg.qr(a_np.reshape(-1, a_np.shape[-2], a_np.shape[-1]))
     q = q.reshape(a_np.shape[:4] + q.shape[-2:])
@@ -109,15 +123,15 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
 
 
 def _prolong(P: cplx.CArray, c: cplx.CArray, block, sc=(4, 3)):
-    """coarse [*clat, K(, N)] -> fine [*lat, S, C(, N)]."""
+    """coarse [*clat, K(, N)] -> fine [*lat, *blk(, N)]."""
     x = cplx.cdot_general(
         P, c, dimension_numbers=(((5,), (4,)), ((0, 1, 2, 3), (0, 1, 2, 3))))
     return _unaggregate(x, block, sc)
 
 
-def _restrict(P: cplx.CArray, x: cplx.CArray, block):
+def _restrict(P: cplx.CArray, x: cplx.CArray, block, n_blk: int = 2):
     """fine -> coarse: P^H x per aggregate."""
-    ax = _aggregate(x, block)                    # [*clat, dof(, N)]
+    ax = _aggregate(x, block, n_blk=n_blk)       # [*clat, dof(, N)]
     return cplx.cdot_general(
         cplx.conj(P), ax,
         dimension_numbers=(((4,), (4,)), ((0, 1, 2, 3), (0, 1, 2, 3))))
@@ -131,11 +145,12 @@ def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2)):
     K = P.shape[-1]
     M = volume(clat) * K
 
+    blk = _blk_shape(op)
     eye = np.eye(M).reshape(clat + (K, M))
     basis = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
-    cols = _prolong(P, basis, block)                       # [*lat,4,3,M]
-    acols = apply_wilson_dagger(op, apply_wilson(op, cols))
-    r = _restrict(P, acols, block)                         # [*clat,K,M]
+    cols = _prolong(P, basis, block, sc=blk)               # [*lat,*blk,M]
+    acols = _A_normal(op, cols)
+    r = _restrict(P, acols, block, n_blk=len(blk))         # [*clat,K,M]
     return cplx.cmap(lambda a: a.reshape(M, M), r)
 
 
@@ -156,14 +171,16 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
     def A(x):
         return _A_normal(op, x)
 
+    blk = _blk_shape(op)
+
     def prec(r):
-        rc = _restrict(P, r, block)
+        rc = _restrict(P, r, block, n_blk=len(blk))
         flat = cplx.cmap(lambda a: a.reshape(M), rc)
         sol2 = jax.scipy.linalg.cho_solve(
             chol, jnp.concatenate([flat.re, flat.im]))
         c = cplx.CArray(sol2[:M].reshape(clat + (K,)),
                         sol2[M:].reshape(clat + (K,)))
-        x = _prolong(P, c, block)
+        x = _prolong(P, c, block, sc=blk)
         if omega:
             ax = A(x)
             x = cplx.CArray(x.re + omega * (r.re - ax.re),
@@ -179,7 +196,7 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
     convergence factor (< 1 means the cycle contracts; the quality metric
     of the setup in bsr.h:2353-consuming multigrid stacks)."""
     rng = np.random.default_rng(key)
-    shape = tuple(op.dim_d) + (4, 3)
+    shape = tuple(op.dim_d) + _blk_shape(op)
     e = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
                     jnp.asarray(rng.standard_normal(shape)))
 

@@ -116,3 +116,39 @@ def test_coarse_bsr_operator_matches_dense_galerkin():
     want = (ac @ cv).reshape(clat + (K, 1))
     np.testing.assert_allclose(np.asarray(got.re) + 1j * np.asarray(got.im),
                                want, atol=1e-10)
+
+
+def test_multilevel_recursion():
+    """The hierarchy recurses: fine Wilson -> coarse BSR -> coarser.
+    Galerkin exactness holds at level 2 exactly as at level 1."""
+    from superbblas_tpu.models.multigrid import (
+        _blk_shape,
+        coarse_bsr_operator,
+    )
+
+    # level 0 -> 1
+    op0, P1, _ = setup(lat=(8, 8, 4, 4), mass=0.2, K=4)
+    op1 = coarse_bsr_operator(op0, P1)
+    assert op1.mode == "stencil" and _blk_shape(op1) == (4,)
+    assert tuple(op1.dim_d) == (4, 4, 2, 2)
+
+    # level 1 -> 2 through the SAME machinery
+    P2 = build_prolongator(op1, block=(2, 2, 2, 2), K=2, setup_iters=6,
+                           key=1)
+    A_c2 = coarse_matrix(op1, P2)
+    assert P2.shape[:4] == (2, 2, 1, 1)
+    ac2 = np.asarray(A_c2.re) + 1j * np.asarray(A_c2.im)
+    assert np.abs(ac2 - ac2.conj().T).max() < 1e-8
+
+    # Galerkin exactness at level 2 (range(P2) error killed by the
+    # level-2 coarse correction of the LEVEL-1 operator)
+    rng = np.random.default_rng(3)
+    c = cplx.CArray(jnp.asarray(rng.standard_normal(P2.shape[:4] + (2,))),
+                    jnp.asarray(rng.standard_normal(P2.shape[:4] + (2,))))
+    e = _prolong(P2, c, (2, 2, 2, 2), sc=(4,))
+    prec2 = two_grid_preconditioner(op1, P2, A_c2)
+    corr = prec2(_A_normal(op1, e))
+    rel = np.sqrt(float(jnp.sum((e.re - corr.re) ** 2
+                                + (e.im - corr.im) ** 2))
+                  / float(jnp.sum(e.re ** 2 + e.im ** 2)))
+    assert rel < 1e-9, rel
