@@ -18,11 +18,13 @@ from .clover import (
 from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 from .coarse import apply_coarse, coarse_operator
 from .multigrid import (
+    build_hierarchy,
     build_prolongator,
     coarse_bsr_operator,
     coarse_matrix,
     two_grid_error_contraction,
     two_grid_preconditioner,
+    vcycle_preconditioner,
 )
 from .eo_packed import (
     apply_hopping_packed,
@@ -56,6 +58,8 @@ __all__ = [
     "apply_coarse",
     "coarse_operator",
     "build_prolongator",
+    "build_hierarchy",
+    "vcycle_preconditioner",
     "coarse_matrix",
     "coarse_bsr_operator",
     "two_grid_error_contraction",

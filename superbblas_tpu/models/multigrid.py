@@ -35,7 +35,8 @@ from ..labels import volume
 from .wilson import _inner, apply_wilson, apply_wilson_dagger
 
 __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
-           "two_grid_preconditioner", "two_grid_error_contraction"]
+           "two_grid_preconditioner", "two_grid_error_contraction",
+           "build_hierarchy", "vcycle_preconditioner"]
 
 
 def _blk_shape(op: BSROperator) -> Tuple[int, ...]:
@@ -263,3 +264,67 @@ def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
         "xyztc", "xyztC", clat, {"c": K}, {"C": K}, offsets,
         cplx.CArray(jnp.asarray(blocks.real), jnp.asarray(blocks.imag)),
     )
+
+
+def build_hierarchy(op: BSROperator, levels: int = 2, block=(2, 2, 2, 2),
+                    K: int = 4, setup_iters: int = 8, key=0):
+    """Recursive multilevel setup: returns [(op_l, P_l, A_c_l), ...] for
+    l = 0..levels-1, where op_{l+1} = coarse_bsr_operator(op_l, P_l) and
+    the last level's A_c is the dense bottom solve."""
+    out = []
+    cur = op
+    for l in range(levels):
+        blk = tuple(min(b, d) for b, d in zip(block, cur.dim_d))
+        kk = min(K, volume(_blk_shape(cur)))
+        P = build_prolongator(cur, block=blk, K=kk,
+                              setup_iters=setup_iters, key=key + l)
+        A_c = coarse_matrix(cur, P, blk)
+        out.append((cur, P, A_c, blk))
+        if l + 1 < levels:
+            cur = coarse_bsr_operator(cur, P, blk)
+    return out
+
+
+def vcycle_preconditioner(hierarchy, omegas=None):
+    """Recursive V-cycle over a :func:`build_hierarchy` result: at each
+    level one Richardson pre-smooth, a coarse correction (recursing until
+    the dense bottom solve), and one post-smooth."""
+    from ..solvers import power_iteration
+
+    if omegas is None:
+        omegas = []
+        rng = np.random.default_rng(0)
+        for (op_l, P_l, _, _) in hierarchy:
+            shape = tuple(op_l.dim_d) + _blk_shape(op_l)
+            x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                             jnp.asarray(rng.standard_normal(shape)))
+            lam, _ = power_iteration(lambda u, o=op_l: _A_normal(o, u),
+                                     x0, iters=15)
+            omegas.append(float(0.8 / float(lam)))
+
+    def make(level):
+        op_l, P_l, A_c_l, blk_l = hierarchy[level]
+        base = two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
+                                       omega=omegas[level])
+        if level + 1 >= len(hierarchy):
+            return base
+
+        # replace the dense coarse solve by the next level's cycle:
+        # x = P M_{l+1}(P^H r) + smoothing
+        inner = make(level + 1)
+        blk = _blk_shape(op_l)
+        n_blk = len(blk)
+
+        def prec(r):
+            rc = _restrict(P_l, r, blk_l, n_blk=n_blk)
+            # rc lives on the coarse lattice with block (K,): feed the
+            # next level's preconditioner
+            c = inner(rc)
+            x = _prolong(P_l, c, blk_l, sc=blk)
+            ax = _A_normal(op_l, x)
+            w = omegas[level]
+            return cplx.CArray(x.re + w * (r.re - ax.re),
+                               x.im + w * (r.im - ax.im))
+        return prec
+
+    return make(0)

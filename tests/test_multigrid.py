@@ -152,3 +152,27 @@ def test_multilevel_recursion():
                                 + (e.im - corr.im) ** 2))
                   / float(jnp.sum(e.re ** 2 + e.im ** 2)))
     assert rel < 1e-9, rel
+
+
+def test_vcycle_contracts():
+    """A 2-level V-cycle built by the recursive hierarchy contracts a
+    random error (and runs end to end through both levels)."""
+    from superbblas_tpu.models.multigrid import (
+        build_hierarchy,
+        vcycle_preconditioner,
+    )
+
+    op = wilson_operator((4, 4, 4, 4), mass=0.2, key=3,
+                         dtype=jnp.complex128)
+    h = build_hierarchy(op, levels=2, K=4, setup_iters=8)
+    M = vcycle_preconditioner(h)
+
+    rng = np.random.default_rng(5)
+    shape = (4, 4, 4, 4, 4, 3)
+    e = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+    corr = M(_A_normal(op, e))
+    e_new = cplx.CArray(e.re - corr.re, e.im - corr.im)
+    rho = float(jnp.sqrt(jnp.sum(e_new.re ** 2 + e_new.im ** 2)
+                         / jnp.sum(e.re ** 2 + e.im ** 2)))
+    assert rho < 0.9, rho
