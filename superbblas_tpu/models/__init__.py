@@ -6,6 +6,7 @@ from .wilson import (
     cg_step,
     gamma_matrices,
     random_su3_links,
+    twisted_mass_operator,
     wilson_operator,
 )
 from .staggered import apply_staggered, eta_phases, staggered_operator
@@ -17,6 +18,7 @@ from .clover import (
 )
 from .even_odd import checkerboard_masks, eo_solve, schur_matvec
 from .coarse import apply_coarse, coarse_operator
+from .domain_wall import apply_domain_wall, domain_wall_operator
 from .multigrid import (
     build_hierarchy,
     build_prolongator,
@@ -45,6 +47,7 @@ __all__ = [
     "gamma_matrices",
     "random_su3_links",
     "wilson_operator",
+    "twisted_mass_operator",
     "apply_staggered",
     "eta_phases",
     "staggered_operator",
@@ -57,6 +60,8 @@ __all__ = [
     "schur_matvec",
     "apply_coarse",
     "coarse_operator",
+    "apply_domain_wall",
+    "domain_wall_operator",
     "build_prolongator",
     "build_hierarchy",
     "vcycle_preconditioner",

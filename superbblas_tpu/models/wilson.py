@@ -276,3 +276,37 @@ def cg_solve(
 
     x, rr, p, rs = jax.lax.fori_loop(0, n_iters, body, state)
     return x, rs
+
+
+def twisted_mass_operator(
+    lat_dims: Tuple[int, ...],
+    mass: float = 0.1,
+    mu: float = 0.05,
+    r: float = 1.0,
+    key=None,
+    dtype=jnp.complex64,
+    links: Optional[np.ndarray] = None,
+    layout: str = "aos",
+) -> BSROperator:
+    """Twisted-mass Wilson operator D_tm = D_W + i mu gamma5 (x) 1.
+
+    The twist term is site-local and spin-diagonal, so it folds into the
+    center direction's Kronecker factor: the operator stays a single
+    Kron-BSR stencil (same structure create_kron_bsr models,
+    bsr.h:2302-2336) and runs unchanged through every engine path,
+    including the SoA/Pallas kernel.
+    """
+    nd = len(lat_dims)
+    op = wilson_operator(lat_dims, mass=mass, r=r, key=key, dtype=dtype,
+                         links=links, layout=layout)
+    g = gamma_matrices()
+    g5 = (g[0] @ g[1] @ g[2] @ g[3]) if nd == 4 else np.eye(NS)
+    tw = 1j * mu * g5
+
+    def add_tw(kr):
+        # center direction is index 0 in wilson_operator's construction
+        re = kr.re.at[0].add(jnp.asarray(tw.real, kr.re.dtype))
+        im = kr.im.at[0].add(jnp.asarray(tw.imag, kr.im.dtype))
+        return cplx.CArray(re, im)
+
+    return BSROperator(**{**op.__dict__, "kron": add_tw(op.kron)})

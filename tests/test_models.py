@@ -347,3 +347,85 @@ def test_worked_example_runs():
     spec.loader.exec_module(mod)
     rel = mod.main(lat=(4, 4, 2, 2), iters=60)
     assert rel < 1e-6
+
+
+def test_twisted_mass_operator():
+    """D_tm = D_W + i mu gamma5: verified against adding the twist term
+    explicitly, and gamma5-hermiticity maps D_tm(mu) -> D_tm(-mu)^H."""
+    from superbblas_tpu.models.wilson import twisted_mass_operator
+
+    lat, m, mu = (2, 2, 2, 2), 0.2, 0.07
+    rng = np.random.default_rng(0)
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    links = random_su3_links(rng, lat)
+    op_w = wilson_operator(lat, mass=m, links=links, dtype=jnp.complex128)
+    op_tm = twisted_mass_operator(lat, mass=m, mu=mu, links=links,
+                                  dtype=jnp.complex128)
+
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3, 2))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3, 2))))
+    y_tm = apply_wilson(op_tm, x)
+    y_w = apply_wilson(op_w, x)
+    g = gamma_matrices()
+    g5 = g[0] @ g[1] @ g[2] @ g[3]
+    xg = np.asarray(x.re) + 1j * np.asarray(x.im)
+    tw = mu * 1j * np.einsum("st,...tcn->...scn", g5, xg)
+    want = (np.asarray(y_w.re) + 1j * np.asarray(y_w.im)) + tw
+    np.testing.assert_allclose(np.asarray(y_tm.re) + 1j * np.asarray(y_tm.im),
+                               want, atol=1e-12)
+
+    # gamma5 D_tm(mu) gamma5 = D_tm(-mu)^H
+    D_p = materialize(lambda v: apply_wilson(op_tm, v), lat, (4, 3))
+    op_tm_m = twisted_mass_operator(lat, mass=m, mu=-mu, links=links,
+                                    dtype=jnp.complex128)
+    D_m = materialize(lambda v: apply_wilson(op_tm_m, v), lat, (4, 3))
+    G5 = np.kron(np.eye(D_p.shape[0] // 12), np.kron(g5, np.eye(3)))
+    np.testing.assert_allclose(G5 @ D_p @ G5, D_m.conj().T, atol=1e-10)
+
+
+def test_domain_wall_reduces_to_wilson_at_ls1():
+    """Ls=1 DWF: both s5 wrap links land on the center, so D_dw equals
+    the Wilson operator at mass (1 - M5 + m_f)."""
+    from superbblas_tpu.models import apply_domain_wall, domain_wall_operator
+
+    lat, M5, mf = (2, 2, 2, 2), 1.3, 0.07
+    rng = np.random.default_rng(0)
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    links = random_su3_links(rng, lat)
+    dw = domain_wall_operator(lat, Ls=1, M5=M5, m_f=mf, links=links)
+    w = wilson_operator(lat, mass=1.0 - M5 + mf, links=links,
+                        dtype=jnp.complex128)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal((1,) + lat + (4, 3, 2))),
+                    jnp.asarray(rng.standard_normal((1,) + lat + (4, 3, 2))))
+    y_dw = apply_domain_wall(dw, x)
+    y_w = apply_wilson(w, cplx.cmap(lambda a: a[0], x))
+    np.testing.assert_allclose(np.asarray(y_dw.re[0]), np.asarray(y_w.re),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_dw.im[0]), np.asarray(y_w.im),
+                               atol=1e-12)
+
+
+def test_domain_wall_r5g5_hermiticity():
+    """Gamma5 R5 D R5 Gamma5 = D^H — the defining DWF symmetry (R5
+    reflects the fifth dimension)."""
+    from superbblas_tpu.models import apply_domain_wall, domain_wall_operator
+
+    lat, Ls = (2, 2, 2, 2), 4
+    dw = domain_wall_operator(lat, Ls=Ls, M5=1.6, m_f=0.1, key=2)
+
+    V = Ls * int(np.prod(lat))
+    n = V * 12
+    eye = np.eye(n).reshape((Ls,) + lat + (4, 3, n))
+    x = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
+    y = apply_domain_wall(dw, x)
+    D = (np.asarray(y.re) + 1j * np.asarray(y.im)).reshape(n, n)
+
+    g = gamma_matrices()
+    g5 = g[0] @ g[1] @ g[2] @ g[3]
+    R5 = np.zeros((Ls, Ls))
+    R5[np.arange(Ls), Ls - 1 - np.arange(Ls)] = 1.0
+    S = np.kron(R5, np.kron(np.eye(int(np.prod(lat))),
+                            np.kron(g5, np.eye(3))))
+    np.testing.assert_allclose(S @ D @ S, D.conj().T, atol=1e-10)
