@@ -101,10 +101,9 @@ def wilson_clover_operator(
     nd = len(lat_dims)
     if nd != 4:
         raise ValueError("the clover term is defined on a 4D lattice")
-    seed = 0 if key is None else (
-        int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-        if hasattr(key, "dtype") else int(key))
-    rng = np.random.default_rng(seed)
+    from .wilson import _seed_from_key
+
+    rng = np.random.default_rng(_seed_from_key(key))
     if links is None:
         links = random_su3_links(rng, lat_dims)
 

@@ -41,13 +41,9 @@ def coarse_operator(
     """Random Hermitian coarse operator: center m*I + sum of Hermitian-
     paired nearest-neighbor blocks (A_{-mu}(s+mu) = A_{+mu}(s)^H)."""
     nd = len(lat_dims)
-    if key is None:
-        seed = 0
-    elif hasattr(key, "dtype"):
-        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-    else:
-        seed = int(key)
-    rng = np.random.default_rng(seed)
+    from .wilson import _seed_from_key
+
+    rng = np.random.default_rng(_seed_from_key(key))
     nc = block_size
 
     def rand_blocks():

@@ -51,10 +51,9 @@ def domain_wall_operator(
     nd = len(lat_dims)
     if nd != 4:
         raise ValueError("domain-wall fermions extend a 4D lattice")
-    seed = 0 if key is None else (
-        int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-        if hasattr(key, "dtype") else int(key))
-    rng = np.random.default_rng(seed)
+    from .wilson import _seed_from_key
+
+    rng = np.random.default_rng(_seed_from_key(key))
     if links is None:
         links = random_su3_links(rng, lat_dims)
     g = gamma_matrices()
@@ -110,5 +109,6 @@ def domain_wall_operator(
 
 
 def apply_domain_wall(op: BSROperator, x):
-    """y = D_dw x; x: [Ls, *lat, NS, NC, ncols] (CArray or complex)."""
+    """y = D_dw x; x: [Ls, *lat, NS, NC, ncols] (CArray or complex) —
+    one bsr_krylov application (bsr.h:2353) at lattice rank 5."""
     return bsr_krylov(1.0, op, x, "sxyztSCn")

@@ -47,18 +47,30 @@ def _blk_shape(op: BSROperator) -> Tuple[int, ...]:
     return (volume(op.bd),)
 
 
-def _A_normal(op, x):
-    """A = D^H D for ANY square (AoS) stencil operator on canonical
-    fields [*lat, *blk(, N)], with or without the trailing column axis."""
+def _level_apply(op, x, normal: bool = True):
+    """The level's Hermitian PD operator on canonical fields
+    [*lat, *blk(, N)] (trailing column axis optional): A = D^H D at the
+    fine level (``normal=True``); Galerkin coarse operators are already
+    Hermitian PD and are applied directly (``normal=False``).  Scoped
+    under the runtime tracker like every public op."""
     from ..bsr import _apply_stencil
+    from ..utils.tracker import track
     from .wilson import adjoint_operator as _adj
 
     blk = _blk_shape(op)
     squeeze = x.ndim == 4 + len(blk)
     if squeeze:
         x = cplx.cmap(lambda a: a[..., None], x)
-    y = _apply_stencil(_adj(op), _apply_stencil(op, x))
+    with track("multigrid_apply", sync_on=None):
+        y = _apply_stencil(op, x)
+        if normal:
+            y = _apply_stencil(_adj(op), y)
     return cplx.cmap(lambda a: a[..., 0], y) if squeeze else y
+
+
+def _A_normal(op, x):
+    """Backward-compatible alias: the fine-level normal operator."""
+    return _level_apply(op, x, normal=True)
 
 
 def _aggregate(x: cplx.CArray, block: Tuple[int, ...], n_blk: int = 2):
@@ -88,7 +100,7 @@ def _unaggregate(x: cplx.CArray, block: Tuple[int, ...], sc=(4, 3)):
 
 
 def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
-                      setup_iters: int = 8, key=0):
+                      setup_iters: int = 8, key=0, normal: bool = True):
     """Near-null aggregation prolongator P: CArray [*clat, dof, K] with
     block-orthonormal columns (P^H P = I per aggregate).  Reference
     analog: the multigrid setup its consumers run over bsr_krylov
@@ -101,9 +113,9 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
     v = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
                     jnp.asarray(rng.standard_normal(shape)))
 
-    # Richardson smoothing of A = D^H D toward the near-kernel
+    # Richardson smoothing of the level operator toward the near-kernel
     def A(x):
-        return _A_normal(op, x)
+        return _level_apply(op, x, normal)
 
     from ..solvers import power_iteration
 
@@ -138,7 +150,8 @@ def _restrict(P: cplx.CArray, x: cplx.CArray, block, n_blk: int = 2):
         dimension_numbers=(((4,), (4,)), ((0, 1, 2, 3), (0, 1, 2, 3))))
 
 
-def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2)):
+def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2),
+                  normal: bool = True):
     """Galerkin A_c = P^H (D^H D) P as a dense [M, M] split-complex pair
     (M = n_aggregates * K), built from ONE batched operator apply
     (bsr_krylov with the coarse basis as columns, bsr.h:2353)."""
@@ -150,13 +163,14 @@ def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2)):
     eye = np.eye(M).reshape(clat + (K, M))
     basis = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
     cols = _prolong(P, basis, block, sc=blk)               # [*lat,*blk,M]
-    acols = _A_normal(op, cols)
+    acols = _level_apply(op, cols, normal)
     r = _restrict(P, acols, block, n_blk=len(blk))         # [*clat,K,M]
     return cplx.cmap(lambda a: a.reshape(M, M), r)
 
 
 def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
-                            block=(2, 2, 2, 2), omega: float = 0.0):
+                            block=(2, 2, 2, 2), omega: float = 0.0,
+                            normal: bool = True):
     """M r ~ A^{-1} r: coarse correction through the dense coarse solve
     (the dense-layer regime, dense.h:1020-1160), plus an optional
     post-smoothing Richardson step of weight ``omega``."""
@@ -211,7 +225,8 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
 
 
 def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
-                        block=(2, 2, 2, 2)) -> BSROperator:
+                        block=(2, 2, 2, 2), normal: bool = True,
+                        A_c: Optional[cplx.CArray] = None) -> BSROperator:
     """The Galerkin coarse operator as a TRUE coarse-lattice BSR stencil.
 
     A_c = P^H (D^H D) P over contiguous width->=2 aggregates is a regular
@@ -224,7 +239,8 @@ def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
     """
     from ..bsr import bsr_from_stencil
 
-    A_c = coarse_matrix(op, P, block)
+    if A_c is None:
+        A_c = coarse_matrix(op, P, block, normal)
     clat = tuple(P.shape[:4])
     K = P.shape[-1]
     Vc = volume(clat)
@@ -268,46 +284,59 @@ def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
 
 def build_hierarchy(op: BSROperator, levels: int = 2, block=(2, 2, 2, 2),
                     K: int = 4, setup_iters: int = 8, key=0):
-    """Recursive multilevel setup: returns [(op_l, P_l, A_c_l), ...] for
-    l = 0..levels-1, where op_{l+1} = coarse_bsr_operator(op_l, P_l) and
-    the last level's A_c is the dense bottom solve."""
+    """Recursive multilevel setup (the stack reference consumers build
+    over bsr_krylov handles, bsr.h:2353): returns 4-tuples
+    [(op_l, P_l, A_c_l, block_l), ...] for l = 0..levels-1, where
+    op_{l+1} = coarse_bsr_operator(op_l, P_l).  Level 0 targets the
+    NORMAL operator D^H D; every coarse Galerkin operator is already
+    Hermitian PD and deeper levels target it DIRECTLY (preconditioning
+    A_c, not A_c^2 — the recursion would otherwise invert the square).
+    The dense A_c of each level is computed once and shared with the
+    coarse-operator extraction."""
     out = []
     cur = op
     for l in range(levels):
+        normal = (l == 0)
         blk = tuple(min(b, d) for b, d in zip(block, cur.dim_d))
         kk = min(K, volume(_blk_shape(cur)))
         P = build_prolongator(cur, block=blk, K=kk,
-                              setup_iters=setup_iters, key=key + l)
-        A_c = coarse_matrix(cur, P, blk)
-        out.append((cur, P, A_c, blk))
+                              setup_iters=setup_iters, key=key + l,
+                              normal=normal)
+        A_c = coarse_matrix(cur, P, blk, normal=normal)
+        out.append((cur, P, A_c, blk, normal))
         if l + 1 < levels:
-            cur = coarse_bsr_operator(cur, P, blk)
+            cur = coarse_bsr_operator(cur, P, blk, normal=normal, A_c=A_c)
     return out
 
 
 def vcycle_preconditioner(hierarchy, omegas=None):
     """Recursive V-cycle over a :func:`build_hierarchy` result: at each
-    level one Richardson pre-smooth, a coarse correction (recursing until
-    the dense bottom solve), and one post-smooth."""
+    level a coarse correction (recursing until the dense bottom solve)
+    plus one Richardson post-smooth.  Reference analog: the multilevel
+    preconditioner loops consumers drive over bsr_krylov handles
+    (bsr.h:2353)."""
     from ..solvers import power_iteration
 
     if omegas is None:
         omegas = []
         rng = np.random.default_rng(0)
-        for (op_l, P_l, _, _) in hierarchy:
+        for (op_l, P_l, _, _, normal_l) in hierarchy:
             shape = tuple(op_l.dim_d) + _blk_shape(op_l)
             x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
                              jnp.asarray(rng.standard_normal(shape)))
-            lam, _ = power_iteration(lambda u, o=op_l: _A_normal(o, u),
-                                     x0, iters=15)
+            lam, _ = power_iteration(
+                lambda u, o=op_l, nl=normal_l: _level_apply(o, u, nl),
+                x0, iters=15)
             omegas.append(float(0.8 / float(lam)))
 
     def make(level):
-        op_l, P_l, A_c_l, blk_l = hierarchy[level]
-        base = two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
-                                       omega=omegas[level])
+        op_l, P_l, A_c_l, blk_l, normal_l = hierarchy[level]
         if level + 1 >= len(hierarchy):
-            return base
+            # bottom: dense coarse solve (the only level that pays the
+            # Cholesky factorization)
+            return two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
+                                           omega=omegas[level],
+                                           normal=normal_l)
 
         # replace the dense coarse solve by the next level's cycle:
         # x = P M_{l+1}(P^H r) + smoothing
@@ -317,11 +346,12 @@ def vcycle_preconditioner(hierarchy, omegas=None):
 
         def prec(r):
             rc = _restrict(P_l, r, blk_l, n_blk=n_blk)
-            # rc lives on the coarse lattice with block (K,): feed the
-            # next level's preconditioner
+            # rc lives on the coarse lattice with block (K,): the next
+            # level's cycle approximates A_c^{-1} (the coarse operator
+            # is applied DIRECTLY there, not through normal equations)
             c = inner(rc)
             x = _prolong(P_l, c, blk_l, sc=blk)
-            ax = _A_normal(op_l, x)
+            ax = _level_apply(op_l, x, normal_l)
             w = omegas[level]
             return cplx.CArray(x.re + w * (r.re - ax.re),
                                x.im + w * (r.im - ax.im))

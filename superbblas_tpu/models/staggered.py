@@ -62,10 +62,9 @@ def staggered_operator(
     constraints as the Wilson SoA layout).
     """
     nd = len(lat_dims)
-    seed = 0 if key is None else (
-        int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-        if hasattr(key, "dtype") else int(key))
-    rng = np.random.default_rng(seed)
+    from .wilson import _seed_from_key
+
+    rng = np.random.default_rng(_seed_from_key(key))
     if links is None:
         links = random_su3_links(rng, lat_dims)   # [mu, *lat, 3, 3]
     eta = eta_phases(lat_dims)

@@ -35,6 +35,18 @@ NS = 4  # spin components
 NC = 3  # colors
 
 
+def _seed_from_key(key) -> int:
+    """Shared PRNG-key/int -> numpy seed conversion for the model
+    constructors (accepts None, python/numpy ints, and jax PRNG keys)."""
+    if key is None:
+        return 0
+    if isinstance(key, (int, np.integer)):
+        return int(key)
+    if hasattr(key, "dtype"):
+        return int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    return int(key)
+
+
 def gamma_matrices() -> np.ndarray:
     """Euclidean gamma matrices (DeGrand-Rossi basis), numpy [4, 4, 4]."""
     g = np.zeros((4, NS, NS), dtype=np.complex128)
@@ -75,13 +87,7 @@ def wilson_operator(
     SoA operands [ncols, 12, *lat].
     """
     nd = len(lat_dims)
-    if key is None:
-        seed = 0
-    elif hasattr(key, "dtype"):
-        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-    else:
-        seed = int(key)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(_seed_from_key(key))
     if links is None:
         links = random_su3_links(rng, lat_dims)  # [mu, *lat, c, c] complex128
     g = gamma_matrices()
@@ -296,11 +302,12 @@ def twisted_mass_operator(
     bsr.h:2302-2336) and runs unchanged through every engine path,
     including the SoA/Pallas kernel.
     """
-    nd = len(lat_dims)
+    if len(lat_dims) != 4:
+        raise ValueError("the gamma5 twist is defined on a 4D lattice")
     op = wilson_operator(lat_dims, mass=mass, r=r, key=key, dtype=dtype,
                          links=links, layout=layout)
     g = gamma_matrices()
-    g5 = (g[0] @ g[1] @ g[2] @ g[3]) if nd == 4 else np.eye(NS)
+    g5 = g[0] @ g[1] @ g[2] @ g[3]
     tw = 1j * mu * g5
 
     def add_tw(kr):

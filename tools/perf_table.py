@@ -13,6 +13,8 @@ import statistics
 import sys
 import time
 
+import numpy as np
+
 
 def two_point(make_fn, n1, n2):
     res = {}
@@ -69,8 +71,10 @@ def main():
 
     # dense.cpp regime: batched small matrices (12x12 per lattice site)
     def make_small_gemm(n):
+        # spectral radius ~ sqrt(12): scale so chained products stay
+        # bounded instead of overflowing f32 around step ~70
         a = jax.random.normal(jax.random.PRNGKey(2), (4096, 12, 12),
-                              jnp.float32)
+                              jnp.float32) / np.sqrt(12.0)
 
         @jax.jit
         def f(v):
