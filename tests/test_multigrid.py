@@ -176,3 +176,37 @@ def test_vcycle_contracts():
     rho = float(jnp.sqrt(jnp.sum(e_new.re ** 2 + e_new.im ** 2)
                          / jnp.sum(e.re ** 2 + e.im ** 2)))
     assert rho < 0.9, rho
+
+
+def test_vcycle_on_sharded_fields():
+    """The whole cycle (restrict/coarse solve/prolong/smooth) is plain
+    jax ops on global arrays, so it runs unchanged on GSPMD-sharded
+    operands and matches the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from superbblas_tpu import parallel as par
+    from superbblas_tpu.models.multigrid import (
+        _level_apply,
+        build_hierarchy,
+        vcycle_preconditioner,
+    )
+
+    op = wilson_operator((8, 4, 4, 4), mass=0.2, key=3,
+                         dtype=jnp.complex128)
+    h = build_hierarchy(op, levels=2, K=4, setup_iters=6)
+    M = vcycle_preconditioner(h)
+
+    rng = np.random.default_rng(7)
+    shape = (8, 4, 4, 4, 4, 3)
+    r = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+    want = M(r)
+
+    mesh = par.make_mesh({"x": 8})
+    r_sh = jax.device_put(
+        r, NamedSharding(mesh, P("x", None, None, None, None, None)))
+    got = M(r_sh)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               atol=1e-10)
