@@ -17,6 +17,7 @@ from .bsr import (
     create_bsr,
     create_kron_bsr,
 )
+from .dense import cholesky, gesm, inversion, trsm
 from .labels import ContractionPlan
 from .ops import local_contraction, local_copy, local_permute
 from .parallel import (
@@ -53,6 +54,11 @@ __all__ = [
     "create_bsr",
     "create_kron_bsr",
     "ContractionPlan",
+    "cholesky",
+    "trsm",
+    "gesm",
+    "inversion",
+    "solvers",
     "local_copy",
     "local_permute",
     "local_contraction",
