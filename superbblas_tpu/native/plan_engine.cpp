@@ -53,6 +53,11 @@ static int intersect_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
         p1[1] = {0, s1 - (dim - f1)};
         n1 = 2;
     }
+    // wrapped x wrapped pairs can yield up to 4 LINEAR pieces; they
+    // coalesce (linearly and across the wrap seam) into <= 2 toroidal
+    // arcs.  Collect all, then merge — truncating at 2 before merging
+    // silently dropped fragments (full-extent wrapped destinations).
+    Interval tmp[4];
     int n = 0;
     for (int a = 0; a < n0; ++a) {
         for (int b = 0; b < n1; ++b) {
@@ -61,16 +66,46 @@ static int intersect_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
             i64 hi1 = p1[b].from + p1[b].size;
             i64 hi = hi0 < hi1 ? hi0 : hi1;
             if (hi > lo) {
-                // dedup identical results
                 bool dup = false;
                 for (int k = 0; k < n; ++k)
-                    if (out[k].from == lo % dim && out[k].size == hi - lo)
+                    if (tmp[k].from == lo % dim && tmp[k].size == hi - lo)
                         dup = true;
-                if (!dup && n < 2) out[n++] = {lo % dim, hi - lo};
+                if (!dup && n < 4) tmp[n++] = {lo % dim, hi - lo};
             }
         }
     }
-    return n;
+    // sort by start
+    for (int i = 0; i < n; ++i)
+        for (int j = i + 1; j < n; ++j)
+            if (tmp[j].from < tmp[i].from) std::swap(tmp[i], tmp[j]);
+    // Only when more than 2 pieces arise (wrapped x wrapped), coalesce:
+    // the result is then guaranteed to reduce to <= 2 toroidal arcs.
+    // For <= 2 pieces keep the decomposition bit-identical to the
+    // Python box algebra.
+    while (n > 2) {
+        bool merged_any = false;
+        // linearly adjacent pieces
+        for (int i = 0; i + 1 < n && n > 2; ++i) {
+            if (tmp[i].from + tmp[i].size == tmp[i + 1].from) {
+                tmp[i].size += tmp[i + 1].size;
+                for (int j = i + 1; j + 1 < n; ++j) tmp[j] = tmp[j + 1];
+                n -= 1;
+                merged_any = true;
+            }
+        }
+        // across the wrap seam (last ends at dim, first starts at 0)
+        if (n > 2 && tmp[0].from == 0 &&
+            tmp[n - 1].from + tmp[n - 1].size == dim) {
+            tmp[n - 1].size += tmp[0].size;
+            for (int i = 0; i + 1 < n; ++i) tmp[i] = tmp[i + 1];
+            n -= 1;
+            merged_any = true;
+        }
+        if (!merged_any) break;
+    }
+    int cnt = 0;
+    for (int i = 0; i < n && cnt < 2; ++i) out[cnt++] = tmp[i];
+    return cnt;
 }
 
 // Pieces of interval 0 NOT covered by interval 1 (up to 2 pieces).

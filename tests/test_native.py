@@ -97,3 +97,57 @@ def test_redistribution_uses_native_and_matches(lib_available):
     out = R.redistribute_explicit(xd, src, dst, mesh)
     got = R.unpack_global(np.asarray(out), dst)
     np.testing.assert_array_equal(got, x)
+
+
+def test_native_plan_matches_python_on_wrapped_boxes():
+    """Regression: wrapped x wrapped 1-D intersections coalesce into <= 2
+    toroidal arcs; the native sweep truncated at 2 LINEAR pieces and
+    dropped fragments for full-extent wrapped destinations (found by
+    fuzzing: a ((7,5),(8,1)) destination box on an (8,6) lattice)."""
+    import numpy as np
+
+    from superbblas_tpu import native
+    from superbblas_tpu.parallel import Partition
+    from superbblas_tpu.parallel.redistribute import RedistributionPlan
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(999)
+    dim = (8, 6)
+    n = 8
+    for case in range(25):
+        cuts = sorted(rng.choice(np.arange(1, dim[0]), size=n - 1,
+                                 replace=True))
+        starts = [0] + [int(c) for c in cuts]
+        sizes = [(starts[i + 1] if i + 1 < n else dim[0]) - starts[i]
+                 for i in range(n)]
+        sh = int(rng.integers(0, dim[0]))
+        src = Partition(dim=dim, boxes=tuple(
+            ((int((s + sh) % dim[0]), 0), (int(z), dim[1]))
+            for s, z in zip(starts, sizes)))
+        boxes = []
+        for _ in range(n):
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            z = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes.append((f, z))
+        dst = Partition(dim=dim, boxes=tuple(boxes))
+
+        p_native = RedistributionPlan(src, dst, "copy")
+        orig = native.fragment_plan
+        native.fragment_plan = lambda *a, **k: None
+        try:
+            p_python = RedistributionPlan(src, dst, "copy")
+        finally:
+            native.fragment_plan = orig
+        # identical coverage: same scatter targets per (src, dst) pair
+        for i in range(n):
+            for j in range(n):
+                sn = sorted(p_native.unpack_idx[i, j][
+                    p_native.unpack_idx[i, j] < p_native.dst_vol])
+                sp = sorted(p_python.unpack_idx[i, j][
+                    p_python.unpack_idx[i, j] < p_python.dst_vol])
+                assert sn == sp, (case, i, j)
