@@ -108,13 +108,17 @@ static int intersect_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
     return cnt;
 }
 
-// Pieces of interval 0 NOT covered by interval 1 (up to 2 pieces).
-static int subtract_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
-                             Interval out[2]) {
-    if (s0 <= 0) return 0;
+// Split toroidal interval (f0, s0) into pieces outside (kept) / inside
+// (removed) interval (f1, s1); kept + removed exactly tile (f0, s0).
+// When both intervals wrap, the overlap is TWO disjoint toroidal arcs —
+// both must be returned (matches parallel/partition.py interval_split).
+static void interval_split(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
+                           std::vector<Interval> &kept,
+                           std::vector<Interval> &removed) {
+    if (s0 <= 0) return;
     if (s1 <= 0) {
-        out[0] = {dim > 0 ? ((f0 % dim) + dim) % dim : 0, s0};
-        return 1;
+        kept.push_back({dim > 0 ? ((f0 % dim) + dim) % dim : 0, s0});
+        return;
     }
     f0 = ((f0 % dim) + dim) % dim;
     i64 h = (((f1 - f0) % dim) + dim) % dim;  // hole start in offset space
@@ -122,7 +126,8 @@ static int subtract_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
     struct Piece {
         i64 a, b;
     };
-    std::vector<Piece> kept{{0, s0}};
+    std::vector<Piece> keep{{0, s0}};
+    std::vector<Piece> rem;
     Piece holes[2];
     int nh = 0;
     i64 first = s1 < dim - h ? s1 : dim - h;
@@ -130,22 +135,21 @@ static int subtract_interval(i64 f0, i64 s0, i64 f1, i64 s1, i64 dim,
     if (s1 > dim - h) holes[nh++] = {0, s1 - (dim - h)};
     for (int hi = 0; hi < nh; ++hi) {
         std::vector<Piece> next;
-        for (auto &k : kept) {
+        for (auto &k : keep) {
             i64 lo = k.a > holes[hi].a ? k.a : holes[hi].a;
             i64 up = k.b < holes[hi].b ? k.b : holes[hi].b;
             if (up <= lo) {
                 next.push_back(k);
             } else {
                 if (lo > k.a) next.push_back({k.a, lo});
+                rem.push_back({lo, up});
                 if (k.b > up) next.push_back({up, k.b});
             }
         }
-        kept.swap(next);
+        keep.swap(next);
     }
-    int n = 0;
-    for (auto &k : kept)
-        if (n < 2) out[n++] = {(f0 + k.a) % dim, k.b - k.a};
-    return n;
+    for (auto &k : keep) kept.push_back({(f0 + k.a) % dim, k.b - k.a});
+    for (auto &r : rem) removed.push_back({(f0 + r.a) % dim, r.b - r.a});
 }
 
 struct Box {
@@ -186,38 +190,34 @@ static void intersect_box(const Box &a, const Box &b, const i64 *dim, int nd,
 }
 
 // box \ hole -> disjoint boxes (slab decomposition, same scheme as the
-// Python box_minus).
+// Python box_minus).  Per axis: kept pieces are emitted with the other
+// axes unchanged; EVERY inside piece recurses to the next axis (the
+// wrapped x wrapped overlap is two disjoint arcs — following only the
+// biggest silently dropped the remainder under the other arc).
+static void box_minus_rec(const Box &cur, const Box &hole, const i64 *dim,
+                          int nd, int ax, std::vector<Box> &out) {
+    if (ax == nd) return;  // inside the hole on every axis: subtracted.
+    std::vector<Interval> kept, removed;
+    interval_split(cur.from[ax], cur.size[ax], hole.from[ax], hole.size[ax],
+                   dim[ax], kept, removed);
+    for (auto &p : kept) {
+        Box b = cur;
+        b.from[ax] = p.from;
+        b.size[ax] = p.size;
+        out.push_back(std::move(b));
+    }
+    for (auto &p : removed) {
+        Box b = cur;
+        b.from[ax] = p.from;
+        b.size[ax] = p.size;
+        box_minus_rec(b, hole, dim, nd, ax + 1, out);
+    }
+}
+
 static void box_minus(const Box &box, const Box &hole, const i64 *dim, int nd,
                       std::vector<Box> &out) {
     if (empty_box(box)) return;
-    Box cur = box;
-    for (int ax = 0; ax < nd; ++ax) {
-        std::vector<Box> inter;
-        intersect_box(cur, hole, dim, nd, inter);
-        if (inter.empty()) {
-            out.push_back(cur);
-            return;
-        }
-        Interval pieces[2];
-        int np = subtract_interval(cur.from[ax], cur.size[ax], hole.from[ax],
-                                   hole.size[ax], dim[ax], pieces);
-        for (int p = 0; p < np; ++p) {
-            Box b = cur;
-            b.from[ax] = pieces[p].from;
-            b.size[ax] = pieces[p].size;
-            out.push_back(std::move(b));
-        }
-        // continue with the part inside the hole on this axis
-        Interval ov[2];
-        int no = intersect_interval(cur.from[ax], cur.size[ax], hole.from[ax],
-                                    hole.size[ax], dim[ax], ov);
-        if (no == 0) return;
-        int big = 0;
-        for (int k = 1; k < no; ++k)
-            if (ov[k].size > ov[big].size) big = k;
-        cur.from[ax] = ov[big].from;
-        cur.size[ax] = ov[big].size;
-    }
+    box_minus_rec(box, hole, dim, nd, 0, out);
 }
 
 }  // namespace

@@ -345,10 +345,20 @@ def subtract_interval(f0: int, s0: int, f1: int, s1: int, dim: int):
 
     Returned as (from, size) pairs in absolute coordinates.
     """
+    return interval_split(f0, s0, f1, s1, dim)[0]
+
+
+def interval_split(f0: int, s0: int, f1: int, s1: int, dim: int):
+    """Split toroidal interval (f0, s0) into the pieces outside / inside
+    (f1, s1): returns (kept, removed) lists of absolute (from, size) pairs.
+    The pieces of each list are disjoint and kept + removed exactly tile
+    (f0, s0).  When both intervals wrap, the overlap is two DISJOINT
+    toroidal arcs — both are returned (any single-arc shortcut drops
+    coverage; see box_minus)."""
     if s0 == 0:
-        return []
+        return [], []
     if s1 == 0:
-        return [(f0 % dim if dim else 0, s0)]
+        return [(f0 % dim if dim else 0, s0)], []
     f0 = f0 % dim
     # Work in offset space of interval 0: offsets [0, s0).
     h = (f1 - f0) % dim
@@ -356,6 +366,7 @@ def subtract_interval(f0: int, s0: int, f1: int, s1: int, dim: int):
     if s1 > dim - h:
         holes.append((0, s1 - (dim - h)))
     kept = [(0, s0)]
+    removed = []
     for hf, hs in holes:
         new_kept = []
         for kf, ks in kept:
@@ -366,62 +377,48 @@ def subtract_interval(f0: int, s0: int, f1: int, s1: int, dim: int):
             else:
                 if lo > kf:
                     new_kept.append((kf, lo - kf))
+                removed.append((lo, hi - lo))
                 if kf + ks > hi:
                     new_kept.append((hi, kf + ks - hi))
         kept = new_kept
-    return [((f0 + kf) % dim, ks) for kf, ks in kept]
+    return ([((f0 + kf) % dim, ks) for kf, ks in kept],
+            [((f0 + rf) % dim, rs) for rf, rs in removed])
 
 
 def box_minus(frm: Coor, size: Coor, hole_from: Coor, hole_size: Coor, dim: Coor):
     """Decompose box \\ hole into disjoint boxes (dist.h:3745-3828
-    semantics: slab decomposition, up to 2 slabs per axis plus the core)."""
+    semantics: slab decomposition per axis).  For each axis the current
+    region splits into pieces outside the hole's axis range (emitted with
+    the other axes unchanged) and pieces inside it (each recursed to the
+    next axis — ALL of them: when both intervals wrap the overlap is two
+    disjoint arcs, and following only one silently dropped the rest of
+    the remainder)."""
     out = []
-    cur_from, cur_size = list(frm), list(size)
     if volume(size) == 0:
         return []
-    for ax in range(len(dim)):
-        inter = intersect_box(
-            tuple(cur_from), tuple(cur_size), hole_from, hole_size, dim
-        )
-        if not inter:
-            out.append((tuple(cur_from), tuple(cur_size)))
-            return out
-        # On this axis: split current box into (outside pieces) x (rest),
-        # keep the aligned piece and recurse to the next axis.
-        pieces = subtract_interval(
+    nd = len(dim)
+
+    def rec(cur_from, cur_size, ax):
+        if ax == nd:
+            return  # inside the hole on every axis: subtracted.
+        kept, removed = interval_split(
             cur_from[ax], cur_size[ax], hole_from[ax], hole_size[ax], dim[ax]
         )
-        for pf, ps in pieces:
+        for pf, ps in kept:
             b_from = list(cur_from)
             b_size = list(cur_size)
             b_from[ax] = pf
             b_size[ax] = ps
             out.append((tuple(b_from), tuple(b_size)))
-        # Remaining: the part of the box inside the hole's axis range.
-        overl = intersect_interval_single(
-            cur_from[ax], cur_size[ax], hole_from[ax], hole_size[ax], dim[ax]
-        )
-        if overl is None:
-            return out
-        cur_from[ax], cur_size[ax] = overl
-    # cur box now inside the hole on every axis: dropped.
+        for of, osz in removed:
+            b_from = list(cur_from)
+            b_size = list(cur_size)
+            b_from[ax] = of
+            b_size[ax] = osz
+            rec(b_from, b_size, ax + 1)
+
+    rec(list(frm), list(size), 0)
     return out
-
-
-def intersect_interval_single(f0, s0, f1, s1, dim):
-    """Largest single contiguous toroidal overlap of two intervals, or
-    None.  Assumes the overlap is contiguous (true for hole subtraction
-    where pieces were already removed)."""
-    from ..labels import intersect_interval
-
-    parts = intersect_interval(f0, s0, f1, s1, dim)
-    if not parts:
-        return None
-    if len(parts) == 1:
-        return parts[0]
-    # Merge adjacent wrapped pieces if possible; else take the largest.
-    parts = sorted(parts, key=lambda p: -p[1])
-    return parts[0]
 
 
 def make_hole(part: Partition, hole_from: Coor, hole_size: Coor) -> Partition:
