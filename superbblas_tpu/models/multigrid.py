@@ -23,7 +23,7 @@ and the dense layer for the coarse solve.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +201,54 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
             x = cplx.CArray(x.re + omega * (r.re - ax.re),
                             x.im + omega * (r.im - ax.im))
         return x
+
+    return prec
+
+
+def symmetric_two_grid_preconditioner(op: BSROperator, P: cplx.CArray,
+                                      A_c: cplx.CArray, block=(2, 2, 2, 2),
+                                      omega: Optional[float] = None,
+                                      normal: bool = True):
+    """Symmetrized V(1,1) two-grid cycle usable as a pcg preconditioner.
+
+    ``two_grid_preconditioner`` is a stationary-iteration operator: with
+    omega=0 it is the (singular) pure coarse correction P A_c^{-1} P^H,
+    and with omega>0 it post-smooths only, which makes it NON-symmetric —
+    both break preconditioned CG (solvers.pcg requires an SPD M).  This
+    variant wraps the coarse correction with the SAME Richardson smoother
+    on both sides (pre + post), which is symmetric and positive definite
+    for omega < 2/lambda_max:
+
+        x1 = omega r;  x2 = x1 + P A_c^{-1} P^H (r - A x1)
+        M r = x2 + omega (r - A x2)
+
+    ``omega`` defaults to 0.8 / lambda_max(A) estimated by power
+    iteration.  Reference analog: the symmetrized multigrid
+    preconditioners Chroma-style stacks run over bsr_krylov handles
+    (bsr.h:2353)."""
+    def A(x):
+        return _level_apply(op, x, normal)
+
+    if omega is None:
+        from ..solvers import power_iteration
+
+        rng = np.random.default_rng(0)
+        shape = tuple(op.dim_d) + _blk_shape(op)
+        probe = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                            jnp.asarray(rng.standard_normal(shape)))
+        lam, _ = power_iteration(A, probe, iters=30)
+        omega = 0.8 / float(lam)
+
+    coarse = two_grid_preconditioner(op, P, A_c, block, omega=0.0,
+                                     normal=normal)
+
+    def prec(r):
+        x1 = cplx.CArray(omega * r.re, omega * r.im)
+        r1 = cplx.CArray(r.re - A(x1).re, r.im - A(x1).im)
+        c = coarse(r1)
+        x2 = cplx.CArray(x1.re + c.re, x1.im + c.im)
+        r2 = cplx.CArray(r.re - A(x2).re, r.im - A(x2).im)
+        return cplx.CArray(x2.re + omega * r2.re, x2.im + omega * r2.im)
 
     return prec
 

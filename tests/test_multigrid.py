@@ -210,3 +210,34 @@ def test_vcycle_on_sharded_fields():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
                                atol=1e-10)
+
+
+def test_symmetric_two_grid_pcg_near_critical():
+    """The symmetrized V(1,1) cycle is an SPD preconditioner: pcg with it
+    must converge to the plain-cg solution AND in fewer iterations on a
+    near-critical configuration (mass ~ -1.8 with fully random links is
+    deep in the slow-CG regime for this 4^4 field; the plain
+    two_grid_preconditioner is singular at omega=0 and non-symmetric at
+    omega>0, so pcg breaks down with it — the regression this guards)."""
+    from superbblas_tpu.models.multigrid import (
+        symmetric_two_grid_preconditioner)
+    from superbblas_tpu.solvers import cg, pcg
+
+    op = wilson_operator((4, 4, 4, 4), mass=-1.8, key=3,
+                         dtype=jnp.complex128)
+    A = lambda u: _A_normal(op, u)
+    rng = np.random.default_rng(11)
+    lat = tuple(op.dim_d)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3))))
+    x, _, it = cg(A, b, tol=1e-7, maxiter=4000)
+
+    P = build_prolongator(op, K=8, setup_iters=30)
+    A_c = coarse_matrix(op, P)
+    M = symmetric_two_grid_preconditioner(op, P, A_c)
+    xp, _, itp = pcg(A, M, b, tol=1e-7, maxiter=4000)
+
+    num = float(jnp.sum((xp.re - x.re) ** 2 + (xp.im - x.im) ** 2))
+    den = float(jnp.sum(x.re ** 2 + x.im ** 2))
+    assert num / den < 1e-10, num / den
+    assert int(itp) < int(it), (int(itp), int(it))
