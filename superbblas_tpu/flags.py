@@ -11,6 +11,10 @@ TPU-native analog of the reference's ``runtime_features.h:15-158`` (env vars
   * ``SBT_TRACK_MEM``  (0/1): enable live-array accounting.
   * ``SBT_PALLAS``     (0/1, default 1): allow Pallas kernels on TPU; 0
     forces the pure-XLA fallbacks everywhere.
+  * ``SBT_CACHEGB`` (float, default 1.0): byte budget in GiB for the
+    library-level metadata caches (redistribution plans) — the analog of
+    the reference's ``SB_CACHEGB`` (cache.h:238-265).  Exceeding the
+    budget evicts least-recently-used plans.
   * ``SBT_MATMUL_PRECISION`` ("highest"|"high"|"default", default
     "highest"): MXU precision for f32 matmuls/einsums.  The TPU MXU
     natively multiplies bf16; "default" rounds f32 inputs to bf16 (fast,
@@ -65,6 +69,24 @@ def _env_str(name: str, default: str) -> str:
     return default if v is None or v == "" else v
 
 
+@functools.lru_cache(maxsize=None)
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    try:
+        return float(v)
+    except ValueError:
+        raise ValueError(
+            f"environment variable {name} must be a float, got {v!r}")
+
+
+def get_cache_gb() -> float:
+    """Metadata-cache byte budget in GiB (SB_CACHEGB analog,
+    cache.h:238-265)."""
+    return _env_float("SBT_CACHEGB", 1.0)
+
+
 def get_matmul_precision() -> str:
     v = _env_str("SBT_MATMUL_PRECISION", "highest").lower()
     if v not in ("default", "high", "highest"):
@@ -77,6 +99,7 @@ def clear_cache() -> None:
     """Re-read environment variables (for tests)."""
     _env_int.cache_clear()
     _env_str.cache_clear()
+    _env_float.cache_clear()
 
 
 def log(level: int, msg: str) -> None:

@@ -35,7 +35,8 @@ from ..labels import volume
 from .wilson import _inner, apply_wilson, apply_wilson_dagger
 
 __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
-           "two_grid_preconditioner", "two_grid_error_contraction",
+           "two_grid_preconditioner", "symmetric_two_grid_preconditioner",
+           "two_grid_error_contraction",
            "build_hierarchy", "vcycle_preconditioner"]
 
 
@@ -184,7 +185,10 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
     K = P.shape[-1]
 
     def A(x):
-        return _A_normal(op, x)
+        # honor the level's normal flag: coarse Galerkin operators are
+        # already Hermitian PD and must be smoothed DIRECTLY — smoothing
+        # A_c^H A_c amplifies high coarse modes (|1 - omega*lambda^2|>1)
+        return _level_apply(op, x, normal)
 
     blk = _blk_shape(op)
 
@@ -254,7 +258,8 @@ def symmetric_two_grid_preconditioner(op: BSROperator, P: cplx.CArray,
 
 
 def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
-                               omega: float = 0.0, key: int = 0) -> float:
+                               omega: float = 0.0, key: int = 0,
+                               normal: bool = True) -> float:
     """||(I - M A) e|| / ||e|| on a random error vector — the two-grid
     convergence factor (< 1 means the cycle contracts; the quality metric
     of the setup in bsr.h:2353-consuming multigrid stacks)."""
@@ -264,9 +269,9 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
                     jnp.asarray(rng.standard_normal(shape)))
 
     def A(x):
-        return _A_normal(op, x)
+        return _level_apply(op, x, normal)
 
-    prec = two_grid_preconditioner(op, P, A_c, block, omega)
+    prec = two_grid_preconditioner(op, P, A_c, block, omega, normal=normal)
     corr = prec(A(e))
     e_new = cplx.CArray(e.re - corr.re, e.im - corr.im)
     return float(jnp.sqrt(_inner(e_new, e_new) / _inner(e, e)))

@@ -4,16 +4,35 @@ GSPMD reshards anything expressible as a NamedSharding, but the reference
 supports *arbitrary* partitions — toroidally wrapped, unevenly split,
 overlapping (replicated/halo'd) boxes (dist.h:330-560).  This module is
 the TPU-native equivalent of the reference's send/receive machinery
-(dist.h:1426-1573): the box-intersection plan is computed host-side
-(get_indices_to_send/receive, dist.h:1789-1852), materialized as *static
-index tensors* that ride along as sharded data, and executed inside one
-shard_map as
+(dist.h:1426-1573).
 
-    gather(pack) -> lax.all_to_all -> scatter(unpack)
+The box-intersection plan is computed host-side (the reference's
+get_indices_to_send/receive, dist.h:1789-1852) and — like the reference's
+``copy_n_blocking`` (dist.h:798-1010) — stored as **blocked runs**, not
+elements: every fragment decomposes into contiguous runs along the last
+axis; a common block size B (the gcd of all run lengths, the analog of
+the reference's common blocking, dist.h:798-866) makes every run exactly
+B elements, so the plan holds one int32 start offset per B elements
+instead of one per element.  Plan memory is O(total runs); the descriptors
+are per-rank ragged arrays padded only to the per-rank totals.
 
-with per-peer fragments padded to the planned maximum — static shapes, as
-XLA requires; the plan is cached on the (partitions, shapes) key exactly
-like the reference's LRU plan cache (dist.h:2303-2349).
+Two executors share the plan:
+
+  * ``method="ragged"`` — ``lax.ragged_all_to_all`` with true per-peer
+    variable counts (the MPI_Alltoallv analog, dist.h:1502-1548).  The
+    HLO is TPU/GPU-only; on CPU the same plan fields and offset math run
+    through a dense-collective emulation so tests exercise the layout.
+  * ``method="dense"`` — classic tiled ``lax.all_to_all`` with per-pair
+    slots padded to the max pair run count; works on every backend and is
+    the virtual-mesh test path.
+
+Execution happens inside one shard_map as
+
+    gather(runs) -> exchange -> scatter(runs)
+
+and the plan is cached on the (partitions, copy_add) key in a byte-budget
+LRU exactly like the reference's plan cache (dist.h:2303-2349 +
+cache.h:238-265 / SB_CACHEGB).
 
 Data container: irregular partitions cannot be jax global arrays, so the
 distributed tensor is a **stacked-padded local form** ``[nprocs,
@@ -21,11 +40,17 @@ distributed tensor is a **stacked-padded local form** ``[nprocs,
 reference's per-rank raw pointers).  ``pack_global``/``unpack_global``
 convert between host numpy global arrays and this form for testing and
 I/O.
+
+At SBT_DEBUG>=2 every redistribution is replayed **through the actual
+collective path** with index-valued payloads and checked against a
+plan-independent host oracle — the reference's ``ns_copy_test`` mock-index
+layer (dist.h:1919-2116, 2282-2285).
 """
 
 from __future__ import annotations
 
-import functools
+import math
+from collections import OrderedDict
 from typing import Optional, Tuple
 
 import jax
@@ -34,7 +59,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .. import cplx
+from .. import cplx, flags
 from ..labels import intersect_box, volume
 from .partition import Partition, box_minus
 
@@ -47,8 +72,6 @@ def may_need_communications(src: "Partition", dst: "Partition") -> bool:
     cross-process traffic (reference ``may_need_communications``,
     dist.h:2159): False when every destination box is fully contained in
     the same rank's source box."""
-    from ..labels import intersect_box
-
     if len(src.boxes) != len(dst.boxes):
         return True
     for (sf, ss), (df, ds) in zip(src.boxes, dst.boxes):
@@ -62,27 +85,82 @@ def may_need_communications(src: "Partition", dst: "Partition") -> bool:
     return False
 
 
-def _box_flat_indices(frm, size, box_from, box_shape, lat_dim) -> np.ndarray:
-    """Flat indices (row-major in a padded local block of shape
-    ``box_shape`` whose origin is ``box_from``) of the absolute toroidal
-    box (frm, size), scanned in row-major absolute order.  Both the
-    fragment and the owning box may wrap around the lattice."""
-    nd = len(box_shape)
-    axes = []
-    for f, s, bf, D in zip(frm, size, box_from, lat_dim):
-        axes.append(((np.arange(f, f + s) % D) - bf) % D)
-    grid = np.meshgrid(*axes, indexing="ij")
-    strides = np.ones(nd, dtype=np.int64)
-    for i in range(nd - 2, -1, -1):
-        strides[i] = strides[i + 1] * box_shape[i + 1]
-    flat = np.zeros(tuple(s for s in size), dtype=np.int64)
-    for g, st in zip(grid, strides):
-        flat += g.astype(np.int64) * st
-    return flat.reshape(-1)
+def _fragment_runs(ff, fs, sfrm, src_shape, dfrm, dst_shape, dim):
+    """Decompose one toroidal fragment into contiguous runs.
+
+    The fragment (``ff``, ``fs``) lives in absolute lattice coordinates
+    and is copied from the src box at ``sfrm`` (padded local block shape
+    ``src_shape``) to the dst box at ``dfrm`` (shape ``dst_shape``); both
+    the fragment and the boxes may wrap toroidally.  Runs go along the
+    LAST axis, split where either local map wraps, so within a run both
+    flat offsets advance with stride 1 (the contiguity the reference's
+    ``copy_n_blocking`` exploits, dist.h:798-866).
+
+    Returns ``(src_starts, dst_starts, lengths)`` int64 arrays: run k
+    copies ``lengths[k]`` consecutive elements from flat offset
+    ``src_starts[k]`` of the src block to ``dst_starts[k]`` of the dst
+    block.
+    """
+    nd = len(dim)
+    sstr = np.ones(nd, np.int64)
+    dstr = np.ones(nd, np.int64)
+    for a in range(nd - 2, -1, -1):
+        sstr[a] = sstr[a + 1] * src_shape[a + 1]
+        dstr[a] = dstr[a + 1] * dst_shape[a + 1]
+    # prefix-axis local offsets (cartesian outer sums, row-major order)
+    spre = np.zeros(1, np.int64)
+    dpre = np.zeros(1, np.int64)
+    for a in range(nd - 1):
+        f, s, D = ff[a], fs[a], dim[a]
+        ax = np.arange(f, f + s)
+        spre = np.add.outer(spre, ((ax - sfrm[a]) % D) * sstr[a]).reshape(-1)
+        dpre = np.add.outer(dpre, ((ax - dfrm[a]) % D) * dstr[a]).reshape(-1)
+    # last axis: split at the wrap points of either local map
+    f, s, D = ff[-1], fs[-1], dim[-1]
+    cuts = {0, s}
+    for b in (sfrm[-1], dfrm[-1]):
+        c = (b - f) % D
+        if 0 < c < s:
+            cuts.add(c)
+    cs = sorted(cuts)
+    src_starts, dst_starts, lens = [], [], []
+    for p0, p1 in zip(cs[:-1], cs[1:]):
+        a0 = f + p0
+        src_starts.append(spre + (a0 - sfrm[-1]) % D)
+        dst_starts.append(dpre + (a0 - dfrm[-1]) % D)
+        lens.append(np.full(len(spre), p1 - p0, np.int64))
+    return (np.concatenate(src_starts), np.concatenate(dst_starts),
+            np.concatenate(lens))
+
+
+def _expand_runs(starts_a: np.ndarray, starts_b: np.ndarray,
+                 lens: np.ndarray, B: int):
+    """Split variable-length runs into runs of exactly B elements."""
+    counts = lens // B
+    tot = int(counts.sum())
+    run_id = np.repeat(np.arange(len(lens)), counts)
+    within = (np.arange(tot) -
+              np.repeat(np.cumsum(counts) - counts, counts)) * B
+    return starts_a[run_id] + within, starts_b[run_id] + within
 
 
 class RedistributionPlan:
-    """Static pack/unpack index tensors for one (src, dst) partition pair."""
+    """Blocked-run descriptors for one (src, dst) partition pair.
+
+    Fields (all numpy, plan memory O(total runs)):
+
+      * ``block``        — common run length B (elements)
+      * ``counts[i, j]`` — number of B-runs rank i sends to rank j
+      * ``send_starts[i, :]`` — flat src offsets of rank i's outgoing
+        runs, concatenated in destination-rank order, padded with
+        ``src_vol`` to the per-rank cap
+      * ``recv_starts[j, :]`` — flat dst offsets of rank j's incoming
+        runs, concatenated in source-rank order, padded with ``dst_vol``
+
+    Reference analog: the per-peer index/blocking plans of
+    get_indices_to_send/receive + copy_n_blocking (dist.h:798-1010,
+    1789-1852).
+    """
 
     def __init__(self, src: Partition, dst: Partition, copy_add: str = "copy"):
         if len(src.boxes) != len(dst.boxes):
@@ -96,22 +174,19 @@ class RedistributionPlan:
         self.dst_shape = tuple(
             max((b[1][i] for b in dst.boxes), default=0)
             for i in range(len(dim)))
-        src_vol = volume(self.src_shape)
-        dst_vol = volume(self.dst_shape)
+        self.src_vol = volume(self.src_shape)
+        self.dst_vol = volume(self.dst_shape)
+        self.copy_add = copy_add
 
-        # fragments[i][j]: list of (box, src_idx, dst_idx)
-        pair_src = [[[] for _ in range(n)] for _ in range(n)]
-        pair_dst = [[[] for _ in range(n)] for _ in range(n)]
+        # fragments per (i, j) pair: (src_starts, dst_starts, lens) runs
+        pair_runs = [[[] for _ in range(n)] for _ in range(n)]
 
         def add_fragment(i, j, ff, fs):
             if volume(fs) == 0:
                 return
-            sfrm = src.boxes[i][0]
-            dfrm = dst.boxes[j][0]
-            pair_src[i][j].append(
-                _box_flat_indices(ff, fs, sfrm, self.src_shape, dim))
-            pair_dst[i][j].append(
-                _box_flat_indices(ff, fs, dfrm, self.dst_shape, dim))
+            pair_runs[i][j].append(_fragment_runs(
+                ff, fs, src.boxes[i][0], self.src_shape,
+                dst.boxes[j][0], self.dst_shape, dim))
 
         # Prefer the native C++ plan engine (all-pairs fragment sweep);
         # fall back to the Python box algebra.
@@ -153,33 +228,339 @@ class RedistributionPlan:
                     for ff, fs in frags:
                         add_fragment(i, j, ff, fs)
 
-        self.max_elems = max(
-            (sum(len(a) for a in pair_src[i][j])
-             for i in range(n) for j in range(n)), default=0)
-        m = max(self.max_elems, 1)
-        # pack_idx[i, j, k]: element k of the buffer rank i sends to rank j,
-        # as a flat index into rank i's padded src block; src_vol = padding.
-        pack = np.full((n, n, m), src_vol, dtype=np.int32)
-        unpack = np.full((n, n, m), dst_vol, dtype=np.int32)
+        # common block size: gcd of every run length in the plan
+        # (the reference's common blocking, dist.h:798-866)
+        B = 0
         for i in range(n):
             for j in range(n):
-                if pair_src[i][j]:
-                    s = np.concatenate(pair_src[i][j])
-                    d = np.concatenate(pair_dst[i][j])
-                    pack[i, j, :len(s)] = s
-                    unpack[i, j, :len(d)] = d
-        self.pack_idx = pack      # [n, n, m]
-        self.unpack_idx = unpack  # indexed [src_rank, dst_rank, k]
-        self.copy_add = copy_add
-        self.src_vol = src_vol
-        self.dst_vol = dst_vol
+                for _, _, lens in pair_runs[i][j]:
+                    B = math.gcd(B, int(np.gcd.reduce(lens)))
+        self.block = B = max(B, 1)
+
+        counts = np.zeros((n, n), dtype=np.int64)
+        pair_src = [[None] * n for _ in range(n)]
+        pair_dst = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if not pair_runs[i][j]:
+                    continue
+                ss = np.concatenate([r[0] for r in pair_runs[i][j]])
+                dd = np.concatenate([r[1] for r in pair_runs[i][j]])
+                ll = np.concatenate([r[2] for r in pair_runs[i][j]])
+                se, de = _expand_runs(ss, dd, ll, B)
+                pair_src[i][j] = se
+                pair_dst[i][j] = de
+                counts[i, j] = len(se)
+        if counts.max(initial=0) >= np.iinfo(np.int32).max:
+            raise ValueError("plan exceeds int32 run indexing")
+        self.counts = counts.astype(np.int32)
+
+        cap_send = max(int(counts.sum(axis=1).max(initial=0)), 1)
+        cap_recv = max(int(counts.sum(axis=0).max(initial=0)), 1)
+        send = np.full((n, cap_send), self.src_vol, dtype=np.int32)
+        recv = np.full((n, cap_recv), self.dst_vol, dtype=np.int32)
+        for i in range(n):
+            parts = [pair_src[i][j] for j in range(n)
+                     if pair_src[i][j] is not None]
+            if parts:
+                cat = np.concatenate(parts)
+                send[i, :len(cat)] = cat
+        for j in range(n):
+            parts = [pair_dst[i][j] for i in range(n)
+                     if pair_dst[i][j] is not None]
+            if parts:
+                cat = np.concatenate(parts)
+                recv[j, :len(cat)] = cat
+        self.send_starts = send
+        self.recv_starts = recv
+        self._dense = None   # lazy [n, n, pair_cap] layout for method=dense
+
+        self._validate()
+
+    # -- plan-time count-matrix validation (dist.h:1475-1490 analog) ----
+    def _validate(self) -> None:
+        """Copy-mode plans must write every covered destination element
+        exactly once: per dst rank, the incoming runs must be disjoint."""
+        if self.copy_add != "copy":
+            return
+        B = self.block
+        for j in range(self.n):
+            tot = int(self.counts[:, j].sum())
+            if tot == 0:
+                continue
+            starts = np.sort(self.recv_starts[j, :tot])
+            if starts[0] < 0 or starts[-1] + B > self.dst_vol:
+                raise ValueError(
+                    f"plan writes outside rank {j}'s destination block")
+            if np.any(np.diff(starts) < B):
+                raise ValueError(
+                    f"copy plan covers a destination element of rank {j} "
+                    "more than once (overlapping fragments)")
+
+    # -- derived layouts ------------------------------------------------
+    @property
+    def pair_cap(self) -> int:
+        return max(int(self.counts.max(initial=0)), 1)
+
+    def _pair_slices(self):
+        """(send_off, recv_off): exclusive prefix sums of counts along
+        the peer axes, for slicing the concatenated per-rank arrays."""
+        send_off = np.cumsum(self.counts, axis=1) - self.counts
+        recv_off = np.cumsum(self.counts, axis=0) - self.counts
+        return send_off, recv_off
+
+    def dense_idx(self):
+        """Per-pair padded run-start layout [n, n, pair_cap] for the
+        tiled-all_to_all executor (pad = src_vol / dst_vol)."""
+        if self._dense is None:
+            n, s = self.n, self.pair_cap
+            pack = np.full((n, n, s), self.src_vol, dtype=np.int32)
+            unpack = np.full((n, n, s), self.dst_vol, dtype=np.int32)
+            send_off, recv_off = self._pair_slices()
+            for i in range(n):
+                for j in range(n):
+                    c = int(self.counts[i, j])
+                    if c == 0:
+                        continue
+                    o = int(send_off[i, j])
+                    pack[i, j, :c] = self.send_starts[i, o:o + c]
+                    o = int(recv_off[i, j])
+                    unpack[i, j, :c] = self.recv_starts[j, o:o + c]
+            self._dense = (pack, unpack)
+        return self._dense
+
+    def pair_elem_indices(self, i: int, j: int):
+        """Element-granularity (src_idx, dst_idx) for one rank pair —
+        the expansion of the run descriptors, for tests/verification."""
+        c = int(self.counts[i, j])
+        send_off, recv_off = self._pair_slices()
+        o = int(send_off[i, j])
+        sr = self.send_starts[i, o:o + c].astype(np.int64)
+        o = int(recv_off[i, j])
+        dr = self.recv_starts[j, o:o + c].astype(np.int64)
+        B = self.block
+        off = np.arange(B, dtype=np.int64)
+        return ((sr[:, None] + off).reshape(-1),
+                (dr[:, None] + off).reshape(-1))
+
+    @property
+    def nbytes(self) -> int:
+        b = (self.counts.nbytes + self.send_starts.nbytes +
+             self.recv_starts.nbytes)
+        if self._dense is not None:
+            b += self._dense[0].nbytes + self._dense[1].nbytes
+        return b
 
 
-@functools.lru_cache(maxsize=256)
-def make_plan(src: Partition, dst: Partition, copy_add: str = "copy"):
-    """Plan cache (the reference caches plans in its LRU keyed by the
-    partition pair, dist.h:2303-2349)."""
-    return RedistributionPlan(src, dst, copy_add)
+class _PlanCache:
+    """Byte-budget LRU plan cache: the reference caches plans in an LRU
+    evicted by SB_CACHEGB (dist.h:2303-2349 + cache.h:21-199, 238-265).
+    Budget: SBT_CACHEGB gigabytes (flags.py), plus an entry-count cap."""
+
+    def __init__(self, maxsize: int = 256):
+        self.maxsize = maxsize
+        self._od: "OrderedDict[tuple, RedistributionPlan]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def __call__(self, src: Partition, dst: Partition,
+                 copy_add: str = "copy") -> RedistributionPlan:
+        key = (src, dst, copy_add)
+        plan = self._od.get(key)
+        if plan is not None:
+            self.hits += 1
+            self._od.move_to_end(key)
+            return plan
+        self.misses += 1
+        plan = RedistributionPlan(src, dst, copy_add)
+        self._od[key] = plan
+        budget = int(flags.get_cache_gb() * (1 << 30))
+        while len(self._od) > 1 and (
+                len(self._od) > self.maxsize or self.bytes_in_use > budget):
+            self._od.popitem(last=False)
+        return plan
+
+    @property
+    def bytes_in_use(self) -> int:
+        return sum(p.nbytes for p in self._od.values())
+
+    def cache_clear(self) -> None:
+        self._od.clear()
+        self.hits = 0
+        self.misses = 0
+
+    def cache_info(self):
+        from collections import namedtuple
+
+        Info = namedtuple("CacheInfo",
+                          "hits misses maxsize currsize bytes")
+        return Info(self.hits, self.misses, self.maxsize, len(self._od),
+                    self.bytes_in_use)
+
+
+make_plan = _PlanCache()
+make_plan.__doc__ = """Plan cache (the reference caches plans in its LRU
+keyed by the partition pair, dist.h:2303-2349, evicted by byte budget
+like SB_CACHEGB, cache.h:238-265)."""
+
+
+# ---------------------------------------------------------------------------
+# executors
+
+
+def _gather_runs(flat: jnp.ndarray, starts: jnp.ndarray, B: int):
+    """[cap] run starts -> [cap, B] run payloads (flat is pre-padded with
+    B zeros so padding starts gather zeros)."""
+    return flat[starts[:, None] + jnp.arange(B, dtype=starts.dtype)]
+
+
+def _scatter_runs(vals: jnp.ndarray, starts: jnp.ndarray, dst_vol: int,
+                  B: int, copy_add: str, dtype):
+    """[cap, B] payloads -> flat [dst_vol] block; padding starts
+    (== dst_vol) land in a throwaway pad zone."""
+    out = jnp.zeros((dst_vol + B,), dtype)
+    idx = starts[:, None] + jnp.arange(B, dtype=starts.dtype)
+    if copy_add == "copy":
+        out = out.at[idx].set(vals, mode="drop")
+    else:
+        out = out.at[idx].add(vals, mode="drop")
+    return out[:dst_vol]
+
+
+def _exchange_ragged(send: jnp.ndarray, counts: jnp.ndarray, cap_recv: int,
+                     axis: str) -> jnp.ndarray:
+    """True variable-count exchange via lax.ragged_all_to_all (TPU/GPU).
+
+    ``send`` [cap_send, B] holds this rank's outgoing runs concatenated
+    in destination-rank order; returns [cap_recv, B] runs concatenated in
+    source-rank order.  The MPI_Alltoallv analog (dist.h:1502-1548)."""
+    r = jax.lax.axis_index(axis)
+    my_send = counts[r]                                   # [n] runs to j
+    input_offsets = (jnp.cumsum(my_send) - my_send).astype(jnp.int32)
+    # where my chunk lands in peer j's recv concat (sources before me)
+    col_pre = jnp.cumsum(counts, axis=0) - counts         # [n, n]
+    output_offsets = col_pre[r].astype(jnp.int32)
+    recv_sizes = counts[:, r].astype(jnp.int32)
+    out0 = jnp.zeros((cap_recv, send.shape[1]), send.dtype)
+    return jax.lax.ragged_all_to_all(
+        send, out0, input_offsets, my_send.astype(jnp.int32),
+        output_offsets, recv_sizes, axis_name=axis)
+
+
+def _exchange_ragged_emulated(send: jnp.ndarray, counts: jnp.ndarray,
+                              cap_recv: int, axis: str) -> jnp.ndarray:
+    """Same contract as :func:`_exchange_ragged`, built on dense tiled
+    all_to_all — the CPU stand-in (XLA:CPU has no ragged-all-to-all HLO)
+    so the ragged plan layout and offset math are testable on the
+    virtual mesh."""
+    n = counts.shape[0]
+    s = send.shape[0]           # cap_send; dense slot per (peer, within)
+    B = send.shape[1]
+    r = jax.lax.axis_index(axis)
+    my_send = counts[r]
+    off = jnp.cumsum(my_send) - my_send                   # [n]
+    # route each send row to dense slot (peer j, within-pair k)
+    m = jnp.arange(s)
+    peer = jnp.searchsorted(jnp.cumsum(my_send), m, side="right")
+    peer = jnp.minimum(peer, n - 1)
+    within = m - off[peer]
+    valid = m < my_send.sum()
+    cap = s  # per-pair slot capacity (<= cap_send always holds)
+    dense = jnp.zeros((n * cap, B), send.dtype)
+    slot = jnp.where(valid, peer * cap + within, n * cap)
+    dense = dense.at[slot].set(send, mode="drop")
+    got = jax.lax.all_to_all(dense, axis, 0, 0, tiled=True)  # [n*cap, B]
+    # compact back to source-rank-order concatenation
+    my_recv = counts[:, r]
+    roff = jnp.cumsum(my_recv) - my_recv
+    m2 = jnp.arange(cap_recv)
+    src = jnp.searchsorted(jnp.cumsum(my_recv), m2, side="right")
+    src = jnp.minimum(src, n - 1)
+    within2 = m2 - roff[src]
+    valid2 = m2 < my_recv.sum()
+    slot2 = jnp.where(valid2, src * cap + within2, 0)
+    out = jnp.where(valid2[:, None], got[slot2], 0)
+    return out
+
+
+def _supports_ragged(mesh: Mesh) -> bool:
+    plat = mesh.devices.flat[0].platform
+    return plat in ("tpu", "gpu", "axon")
+
+
+def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
+             method: str):
+    """Run one plan inside a shard_map over ``axis``."""
+    n, B = plan.n, plan.block
+    counts = jnp.asarray(plan.counts.astype(np.int32))
+    copy_add = plan.copy_add
+    dst_vol, dst_shape = plan.dst_vol, plan.dst_shape
+
+    spec_data = PartitionSpec(axis, *([None] * len(plan.src_shape)))
+    spec_out = PartitionSpec(axis, *([None] * len(plan.dst_shape)))
+    spec_row = PartitionSpec(axis, None)
+
+    if method == "ragged":
+        cap_recv = plan.recv_starts.shape[1]
+        exchange = (_exchange_ragged if _supports_ragged(mesh)
+                    else _exchange_ragged_emulated)
+        send_starts = jnp.asarray(plan.send_starts)    # [n, cap_send]
+        recv_starts = jnp.asarray(plan.recv_starts)    # [n, cap_recv]
+
+        def body(local, sstarts, rstarts):
+            def run(loc):
+                flat = jnp.concatenate(
+                    [loc.reshape(-1), jnp.zeros((B,), loc.dtype)])
+                send = _gather_runs(flat, sstarts[0], B)
+                recv = exchange(send, counts, cap_recv, axis)
+                out = _scatter_runs(recv, rstarts[0], dst_vol, B,
+                                    copy_add, loc.dtype)
+                return out.reshape((1,) + dst_shape)
+            if cplx.is_carray(local):
+                return cplx.cmap(lambda a: run(a[0]), local)
+            return run(local[0])
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_data, spec_row, spec_row),
+            out_specs=spec_out, check_vma=False,
+        )(local_stack, send_starts, recv_starts)
+
+    # method == "dense": per-pair slots padded to the max pair run count
+    pack_np, unpack_np = plan.dense_idx()
+    s = plan.pair_cap
+    pack_idx = jnp.asarray(pack_np)        # [n, n, s]
+    unpack_idx = jnp.asarray(unpack_np)
+    spec_idx = PartitionSpec(axis, None, None)
+    spec_idx_dst = PartitionSpec(None, axis, None)
+
+    def body(local, pidx, uidx):
+        # local [1, *src_shape]; pidx [1, n, s]; uidx [n, 1, s]
+        def run(loc):
+            flat = jnp.concatenate(
+                [loc.reshape(-1), jnp.zeros((B,), loc.dtype)])
+            send = _gather_runs(flat, pidx[0].reshape(-1), B)  # [n*s, B]
+            recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+            out = _scatter_runs(recv, uidx[:, 0, :].reshape(-1), dst_vol,
+                                B, copy_add, loc.dtype)
+            return out.reshape((1,) + dst_shape)
+        if cplx.is_carray(local):
+            return cplx.cmap(lambda a: run(a[0]), local)
+        return run(local[0])
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_data, spec_idx, spec_idx_dst),
+        out_specs=spec_out, check_vma=False,
+    )(local_stack, pack_idx, unpack_idx)
+
+
+def _resolve_method(method: str, mesh: Mesh) -> str:
+    if method == "auto":
+        return "ragged" if _supports_ragged(mesh) else "dense"
+    if method not in ("ragged", "dense"):
+        raise ValueError(f"unknown redistribution method {method!r}")
+    return method
 
 
 def redistribute_explicit(
@@ -189,50 +570,82 @@ def redistribute_explicit(
     mesh: Mesh,
     axis: str = "p",
     copy_add: str = "copy",
+    method: str = "auto",
 ):
     """Move data between arbitrary partitions with explicit collectives.
 
     ``local_stack``: [nprocs, *src_max_shape] array (or CArray) sharded
     over ``mesh`` axis ``axis``.  Returns [nprocs, *dst_max_shape] with
-    the same sharding.
+    the same sharding.  ``method``: "ragged" (variable per-peer counts,
+    TPU; emulated on CPU), "dense" (tiled all_to_all), or "auto".
+
+    Reference analog: the distributed copy dispatch dist.h:3534 ->
+    send_receive dist.h:1426-1573.
     """
     plan = make_plan(src, dst, copy_add)
-    n = plan.n
-    pack_idx = jnp.asarray(plan.pack_idx)      # [n, n, m]
-    unpack_idx = jnp.asarray(plan.unpack_idx)
+    method = _resolve_method(method, mesh)
+    if flags.get_debug_level() >= 2:
+        _debug_replay(plan, src, dst, mesh, axis, method)
+    return _execute(plan, local_stack, mesh, axis, method)
 
-    spec_data = PartitionSpec(axis, *([None] * len(plan.src_shape)))
-    spec_out = PartitionSpec(axis, *([None] * len(plan.dst_shape)))
-    spec_idx = PartitionSpec(axis, None, None)
-    # unpack indices must arrive at the *destination* rank: row j needs
-    # unpack[:, j, :]; shard over the dst axis instead.
-    spec_idx_dst = PartitionSpec(None, axis, None)
 
-    def body(local, pidx, uidx):
-        # local [1, *src_shape]; pidx [1, n, m]; uidx [n, 1, m]
-        def run(loc):
-            flat = jnp.concatenate(
-                [loc.reshape(-1), jnp.zeros((1,), loc.dtype)])
-            send = flat[pidx[0]]                          # [n, m]
-            recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-            out = jnp.zeros((plan.dst_vol,), loc.dtype)
-            ui = uidx[:, 0, :].reshape(-1)
-            vals = recv.reshape(-1)
-            if copy_add == "copy":
-                out = out.at[ui].set(vals, mode="drop")
-            else:
-                out = out.at[ui].add(vals, mode="drop")
-            return out.reshape((1,) + plan.dst_shape)
-        if cplx.is_carray(local):
-            return cplx.cmap(lambda a: run(a[0]), local)
-        return run(local[0])
+# ---------------------------------------------------------------------------
+# SBT_DEBUG>=2: mock-index replay through the REAL collective path
 
-    return shard_map(
-        body, mesh=mesh,
-        in_specs=(spec_data, spec_idx, spec_idx_dst),
-        out_specs=spec_out,
-        check_vma=False,
-    )(local_stack, pack_idx, unpack_idx)
+
+def _debug_replay(plan: RedistributionPlan, src: Partition, dst: Partition,
+                  mesh: Mesh, axis: str, method: str) -> None:
+    """Replay the plan with global-index payloads through the actual
+    shard_map/collective executor and verify every destination element
+    against a plan-INDEPENDENT host oracle (the reference's ns_copy_test,
+    dist.h:1919-2116, run at SB_DEBUG>=2 inside the comm layer,
+    dist.h:2282-2285)."""
+    dim = src.dim
+    gidx = (np.arange(volume(dim), dtype=np.int64) + 1).reshape(dim)
+    if volume(dim) + 1 > np.iinfo(np.int32).max:
+        return  # payload would overflow the int32 carrier
+    stack = pack_global(gidx.astype(np.int32), src)
+    xd = jax.device_put(
+        jnp.asarray(stack),
+        NamedSharding(mesh, PartitionSpec(
+            axis, *([None] * (stack.ndim - 1)))))
+    got = np.asarray(_execute(plan, xd, mesh, axis, method))
+
+    for j, (dfrm, dsz) in enumerate(dst.boxes):
+        if volume(dsz) == 0:
+            continue
+        coords = np.meshgrid(*[np.arange(f, f + s) % d
+                               for f, s, d in zip(dfrm, dsz, dim)],
+                             indexing="ij")
+        gblk = gidx[tuple(coords)]
+        if plan.copy_add == "copy":
+            covered = np.zeros(dsz, dtype=bool)
+            for sfrm, ssz in src.boxes:
+                inbox = np.ones(dsz, dtype=bool)
+                for c, f, z, d in zip(coords, sfrm, ssz, dim):
+                    inbox &= ((c - f) % d) < z
+                covered |= inbox
+            want = np.where(covered, gblk, 0)
+        else:
+            mult = np.zeros(dsz, dtype=np.int64)
+            for sfrm, ssz in src.boxes:
+                inbox = np.ones(dsz, dtype=bool)
+                for c, f, z, d in zip(coords, sfrm, ssz, dim):
+                    inbox &= ((c - f) % d) < z
+                mult += inbox
+            want = gblk * mult
+        block = got[j][tuple(slice(0, s) for s in dsz)]
+        if not np.array_equal(block.astype(np.int64), want):
+            bad = np.argwhere(block.astype(np.int64) != want)
+            raise RuntimeError(
+                f"redistribution debug replay mismatch at dst rank {j}, "
+                f"local coords {bad[:5].tolist()} (method={method}, "
+                f"block={plan.block}) — the communication plan is "
+                "corrupt (ns_copy_test analog, dist.h:1919-2116)")
+
+
+# ---------------------------------------------------------------------------
+# host-side stacked-local <-> global converters
 
 
 def pack_global(x: np.ndarray, part: Partition) -> np.ndarray:

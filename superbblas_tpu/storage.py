@@ -351,7 +351,13 @@ def _write_block(sto: Storage, blk: _Block, data: np.ndarray) -> None:
     with sto._lock:
         f = sto._open()
         f.seek(blk.values_offset)
-        raw = np.ascontiguousarray(data.astype(sto.dtype.newbyteorder("<")))
+        # match the file's declared endianness: a byteswapped (big-endian,
+        # reference-written) storage must be written back big-endian or a
+        # read-modify-write through save() silently corrupts the block
+        # (and its level-2 checksum would be computed on the wrong bytes)
+        dt = (sto.dtype.newbyteorder(">") if sto.byteswap
+              else sto.dtype.newbyteorder("<"))
+        raw = np.ascontiguousarray(data.astype(dt))
         f.write(raw.tobytes())
         if sto.checksum_level == 2 and blk.checksum_offset >= 0:
             crc = _blocked_crc(raw.tobytes(), sto.checksum_blocksize)
@@ -495,10 +501,11 @@ def check_or_write_checksums(sto: Storage) -> None:
             if stored != crc:
                 raise ValueError(f"{sto.path}: global checksum mismatch")
     else:  # level 2
+        dt = (sto.dtype.newbyteorder(">") if sto.byteswap
+              else sto.dtype.newbyteorder("<"))
         for blk in sto.blocks:
             data = _read_block(sto, blk)
-            raw = np.ascontiguousarray(
-                data.astype(sto.dtype.newbyteorder("<"))).tobytes()
+            raw = np.ascontiguousarray(data.astype(dt)).tobytes()
             crc = _blocked_crc(raw, sto.checksum_blocksize)
             f.seek(blk.checksum_offset)
             stored = int(struct.unpack("<d", f.read(8))[0])

@@ -29,8 +29,10 @@ def clear_caches() -> None:
 
 
 def report_cache_usage(out=None) -> dict:
-    """Print + return cache statistics (reportCacheUsage,
-    performance.h:436-454)."""
+    """Print + return cache statistics, including the plan cache's byte
+    footprint against its SBT_CACHEGB budget (reportCacheUsage,
+    performance.h:436-454 + cache.h:238-265)."""
+    from .. import flags
     from ..parallel.redistribute import make_plan
 
     info = make_plan.cache_info()
@@ -40,6 +42,8 @@ def report_cache_usage(out=None) -> dict:
             "hits": info.hits,
             "misses": info.misses,
             "max_entries": info.maxsize,
+            "bytes": info.bytes,
+            "budget_bytes": int(flags.get_cache_gb() * (1 << 30)),
         },
         "live_device_buffers": len(jax.live_arrays()),
     }
@@ -47,7 +51,8 @@ def report_cache_usage(out=None) -> dict:
     rp = stats["redistribution_plans"]
     lines.append(
         f"  redistribution plans: {rp['entries']}/{rp['max_entries']} "
-        f"entries, {rp['hits']} hits / {rp['misses']} misses")
+        f"entries, {rp['bytes']}/{rp['budget_bytes']} bytes, "
+        f"{rp['hits']} hits / {rp['misses']} misses")
     lines.append(f"  live device arrays: {stats['live_device_buffers']}")
     print("\n".join(lines), file=out)
     return stats

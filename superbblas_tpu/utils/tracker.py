@@ -107,6 +107,11 @@ def tracked(name: str, flops_fn=None, memops_fn=None):
                 return fn(*args, **kwargs)
             fl = mem = 0.0
             out = None
+            # attribute flops under the SAME hierarchical path track()
+            # times under (the enclosing-scope stack + this name) — a
+            # bare-name bucket would misreport GFLOPS whenever ops nest
+            # (e.g. multigrid calling bsr_krylov)
+            path = "/".join(_stack() + [name])
             t = track(name)
             with t:
                 out = fn(*args, **kwargs)
@@ -118,7 +123,7 @@ def tracked(name: str, flops_fn=None, memops_fn=None):
                 except Exception:
                     fl = mem = 0.0
                 with _lock:
-                    st = _stats.setdefault(name, _PathStats())
+                    st = _stats.setdefault(path, _PathStats())
                     st.flops += fl
                     st.memops += mem
             return out

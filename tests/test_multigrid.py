@@ -154,6 +154,46 @@ def test_multilevel_recursion():
     assert rel < 1e-9, rel
 
 
+def test_coarse_level_smoothing_honors_normal_flag():
+    """On a normal=False level (Galerkin coarse operator, already
+    Hermitian PD) the post-smoothing step of two_grid_preconditioner must
+    apply A_c ONCE — smoothing through A_c^H A_c (the hardcoded-normal
+    regression) amplifies high coarse modes with |1 - omega*lambda^2|>1."""
+    from superbblas_tpu.models import apply_coarse
+    from superbblas_tpu.models.multigrid import (_restrict,
+                                                 coarse_bsr_operator)
+
+    op0, P1, _ = setup(lat=(4, 4, 4, 4), mass=0.2, K=4)
+    op1 = coarse_bsr_operator(op0, P1)       # Hermitian PD coarse BSR
+    P2 = build_prolongator(op1, block=(2, 2, 2, 2), K=2, setup_iters=6,
+                           key=1, normal=False)
+    A_c2 = coarse_matrix(op1, P2, normal=False)
+    w = 0.3
+    prec = two_grid_preconditioner(op1, P2, A_c2, omega=w, normal=False)
+
+    clat1 = tuple(op1.dim_d)
+    rng = np.random.default_rng(9)
+    r = cplx.CArray(jnp.asarray(rng.standard_normal(clat1 + (4,))),
+                    jnp.asarray(rng.standard_normal(clat1 + (4,))))
+    got = prec(r)
+
+    # manual reference: x = P A_c^{-1} P^H r ; out = x + w (r - A_c x)
+    # with A_c applied ONCE via the independent coarse matvec
+    rc = _restrict(P2, r, (2, 2, 2, 2), n_blk=1)
+    M = A_c2.shape[0]
+    ac = np.asarray(A_c2.re) + 1j * np.asarray(A_c2.im)
+    rcv = (np.asarray(rc.re) + 1j * np.asarray(rc.im)).reshape(M)
+    cv = np.linalg.solve(ac, rcv).reshape(P2.shape[:4] + (2,))
+    c = cplx.CArray(jnp.asarray(cv.real), jnp.asarray(cv.imag))
+    x = _prolong(P2, c, (2, 2, 2, 2), sc=(4,))
+    ax = apply_coarse(op1, cplx.cmap(lambda a: a[..., None], x))
+    ax = cplx.cmap(lambda a: a[..., 0], ax)
+    want_re = np.asarray(x.re) + w * (np.asarray(r.re) - np.asarray(ax.re))
+    want_im = np.asarray(x.im) + w * (np.asarray(r.im) - np.asarray(ax.im))
+    np.testing.assert_allclose(np.asarray(got.re), want_re, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.im), want_im, atol=1e-9)
+
+
 def test_vcycle_contracts():
     """A 2-level V-cycle built by the recursive hierarchy contracts a
     random error (and runs end to end through both levels)."""

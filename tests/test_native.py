@@ -146,8 +146,6 @@ def test_native_plan_matches_python_on_wrapped_boxes():
         # identical coverage: same scatter targets per (src, dst) pair
         for i in range(n):
             for j in range(n):
-                sn = sorted(p_native.unpack_idx[i, j][
-                    p_native.unpack_idx[i, j] < p_native.dst_vol])
-                sp = sorted(p_python.unpack_idx[i, j][
-                    p_python.unpack_idx[i, j] < p_python.dst_vol])
+                sn = sorted(p_native.pair_elem_indices(i, j)[1].tolist())
+                sp = sorted(p_python.pair_elem_indices(i, j)[1].tolist())
                 assert sn == sp, (case, i, j)

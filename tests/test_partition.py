@@ -266,7 +266,5 @@ def test_plan_matches_elementwise_ground_truth():
                         for i in covering:
                             want[i].append(dloc)
                 for i in range(n):
-                    got = sorted(
-                        plan.unpack_idx[i, j][plan.unpack_idx[i, j] < plan.dst_vol]
-                    )
+                    got = sorted(plan.pair_elem_indices(i, j)[1].tolist())
                     assert got == sorted(want[i]), (engine, case, dim, mode, i, j)

@@ -179,6 +179,167 @@ def test_fuzz_random_toroidal_partitions(mesh1d):
                                        err_msg=f"case {case} rank {r}")
 
 
+def test_ragged_method_matches_dense(mesh1d):
+    """The ragged-layout executor (per-peer variable counts — emulated on
+    CPU, lax.ragged_all_to_all on TPU) produces identical results to the
+    dense tiled path on every fuzz shape (the MPI_Alltoallv analog,
+    dist.h:1502-1548)."""
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(77)
+    dim = (8, 6)
+    n = 8
+    for case in range(4):
+        boxes_src, boxes_dst = [], []
+        for _ in range(n):
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_src.append((f, s))
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_dst.append((f, s))
+        src = Partition(dim=dim, boxes=tuple(boxes_src))
+        dst = Partition(dim=dim, boxes=tuple(boxes_dst))
+        x = rng.standard_normal(dim)
+        stack = put(R.pack_global(x, src), mesh1d)
+        for mode in ("copy", "add"):
+            dense = np.asarray(R.redistribute_explicit(
+                stack, src, dst, mesh1d, copy_add=mode, method="dense"))
+            ragged = np.asarray(R.redistribute_explicit(
+                stack, src, dst, mesh1d, copy_add=mode, method="ragged"))
+            np.testing.assert_array_equal(ragged, dense,
+                                          err_msg=f"case {case} {mode}")
+
+
+def _simulate_plan(plan, stack):
+    """Host-side execution of a plan's run descriptors (numpy): the
+    reference-style mock replay used to validate plans at rank counts
+    beyond the device mesh."""
+    n = plan.n
+    out = np.zeros((n,) + plan.dst_shape, dtype=stack.dtype)
+    for j in range(n):
+        dst_flat = out[j].reshape(-1)
+        for i in range(n):
+            si, di = plan.pair_elem_indices(i, j)
+            vals = stack[i].reshape(-1)[si]
+            if plan.copy_add == "copy":
+                dst_flat[di] = vals
+            else:
+                dst_flat[di] += vals
+    return out
+
+
+@pytest.mark.parametrize("nrank", [32, 64])
+def test_plan_scales_to_many_ranks(nrank):
+    """Plan build + host-simulated execution at 32/64 ranks: the blocked
+    plan must stay exact AND small — memory O(total run descriptors),
+    not O(n^2 * max_fragment) elements (the round-1 scaling hole)."""
+    from superbblas_tpu.parallel import Partition, basic_partitioning
+
+    dim = (64, 32)
+    rng = np.random.default_rng(nrank)
+    procs = {32: (8, 4), 64: (16, 4)}[nrank]
+    src = basic_partitioning("xy", dim, (nrank, 1))
+    dst = basic_partitioning("xy", dim, procs)
+    plan = R.RedistributionPlan(src, dst, "copy")
+    # the whole second axis is contiguous per fragment: runs are blocked
+    assert plan.block >= dst.boxes[0][1][1], plan.block
+    # plan memory: run descriptors + the n^2 count matrix, far below the
+    # round-1 element-granularity [n, n, max_pair_elems] layout
+    old_bytes = 2 * nrank * nrank * int(plan.counts.max()) * plan.block * 4
+    assert plan.nbytes < old_bytes / 8, (plan.nbytes, old_bytes)
+
+    x = rng.standard_normal(dim)
+    got = _simulate_plan(plan, R.pack_global(x, src))
+    np.testing.assert_array_equal(R.unpack_global(got, dst), x)
+
+    # and a wrapped/uneven fuzz at the same rank count
+    boxes = []
+    for _ in range(nrank):
+        f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+        s = (int(rng.integers(1, dim[0] + 1)),
+             int(rng.integers(1, dim[1] + 1)))
+        boxes.append((f, s))
+    dst2 = Partition(dim=dim, boxes=tuple(boxes))
+    plan2 = R.RedistributionPlan(src, dst2, "copy")
+    got2 = _simulate_plan(plan2, R.pack_global(x, src))
+    for r, (frm, size) in enumerate(dst2.boxes):
+        idx = np.ix_(*[np.arange(f, f + s) % d
+                       for f, s, d in zip(frm, size, dim)])
+        np.testing.assert_array_equal(
+            got2[r][tuple(slice(0, s) for s in size)], x[idx])
+
+
+def test_plan_cache_byte_budget(monkeypatch):
+    """Exceeding SBT_CACHEGB evicts least-recently-used plans and the
+    cache reports its byte footprint (SB_CACHEGB analog,
+    cache.h:238-265)."""
+    from superbblas_tpu import flags
+    from superbblas_tpu.parallel import basic_partitioning
+    from superbblas_tpu.utils import report_cache_usage
+
+    R.make_plan.cache_clear()
+    plans = []
+    for k in range(2, 7):
+        src = basic_partitioning("xy", (8 * k, 8), (8, 1))
+        dst = basic_partitioning("xy", (8 * k, 8), (1, 8))
+        plans.append(R.make_plan(src, dst))
+    per_plan = plans[0].nbytes
+    assert R.make_plan.cache_info().currsize == 5
+
+    # budget that holds only ~2 plans
+    monkeypatch.setenv("SBT_CACHEGB", str(2.5 * per_plan / (1 << 30)))
+    flags.clear_cache()
+    try:
+        src = basic_partitioning("xy", (8, 8), (8, 1))
+        dst = basic_partitioning("xy", (8, 8), (1, 8))
+        R.make_plan(src, dst)          # insert triggers eviction
+        info = R.make_plan.cache_info()
+        assert info.currsize < 6
+        assert info.bytes <= 2.5 * per_plan + per_plan
+        stats = report_cache_usage()
+        assert stats["redistribution_plans"]["bytes"] == info.bytes
+    finally:
+        flags.clear_cache()
+        R.make_plan.cache_clear()
+
+
+def test_debug_ladder_catches_corrupt_plan(mesh1d, monkeypatch):
+    """SBT_DEBUG>=2 replays every explicit redistribution with
+    index-valued payloads through the REAL collective path; an
+    intentionally corrupted plan must be caught by the ladder, not by
+    downstream tests (ns_copy_test analog, dist.h:1919-2116)."""
+    from superbblas_tpu import flags
+
+    dim = (8, 8)
+    src = par.basic_partitioning("xy", dim, (4, 2))
+    dst = par.basic_partitioning("xy", dim, (2, 4))
+    x = np.arange(64, dtype=np.float32).reshape(dim)
+    stack = put(R.pack_global(x, src), mesh1d)
+
+    monkeypatch.setenv("SBT_DEBUG", "2")
+    flags.clear_cache()
+    try:
+        # sane plan passes the replay
+        R.make_plan.cache_clear()
+        out = R.redistribute_explicit(stack, src, dst, mesh1d)
+        np.testing.assert_array_equal(R.unpack_global(np.asarray(out), dst),
+                                      x)
+        # corrupt the cached plan: swap two receive runs on rank 0
+        plan = R.make_plan(src, dst)
+        plan.recv_starts = plan.recv_starts.copy()
+        plan.recv_starts[0, 0], plan.recv_starts[0, 1] = (
+            plan.recv_starts[0, 1], plan.recv_starts[0, 0] + 1)
+        plan._dense = None
+        with pytest.raises(RuntimeError, match="debug replay mismatch"):
+            R.redistribute_explicit(stack, src, dst, mesh1d)
+    finally:
+        flags.clear_cache()
+        R.make_plan.cache_clear()
+
+
 def test_components_partition_redistribution(mesh1d):
     """Multi-component partitions (the reference's multiple devices per
     rank, dist.h:205-241; tests/bsr.cpp --components=2): each component

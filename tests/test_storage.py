@@ -171,3 +171,46 @@ def test_big_endian_file_read(tmp_path):
     got = S.load(1.0, sto, np.zeros(dim), "xy")
     np.testing.assert_array_equal(got, vals)
     S.close_storage(sto)
+
+
+def test_big_endian_file_write_roundtrip(tmp_path):
+    """Writes into a byteswapped (reference-written, big-endian) storage
+    must keep the file's declared endianness: a read-modify-write through
+    save() would otherwise silently corrupt the block (storage.h:1200
+    writes through the same byte-order the header declares)."""
+    import struct
+
+    path = str(tmp_path / "berw.s3t")
+    dim = (2, 3)
+    vals = (np.arange(6) * 1.25).reshape(dim)
+    meta = b"be!"
+    pad = b"\x00" * ((8 - len(meta) % 8) % 8)
+    hdr = struct.pack(">6i", 314, 0, 1, 0, 2, len(meta)) + meta + pad
+    hdr += np.asarray(dim, dtype=">f8").tobytes()
+    hdr += struct.pack(">d", float(64 * 1024 * 1024))
+    hdr += struct.pack(">d", 1.0)                      # one chunk
+    chunk = struct.pack(">d", 1.0)                     # one block
+    chunk += np.asarray((0, 0), dtype=">f8").tobytes()
+    chunk += np.asarray(dim, dtype=">f8").tobytes()
+    chunk += vals.astype(">f8").tobytes()
+    with open(path, "wb") as f:
+        f.write(hdr + chunk)
+
+    # partial save: read-modify-write of the single block
+    sto = S.open_storage(path, mode="r+")
+    new = np.array([[7.5, 8.5]])
+    S.save(1.0, new, "xy", sto, "xy", from1=(1, 1))
+    S.close_storage(sto)
+
+    want = vals.copy()
+    want[1, 1:3] = new[0]
+    # a fresh open must read back the updated values (bytes stayed BE)
+    sto2 = S.open_storage(path, mode="r")
+    got = S.load(1.0, sto2, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, want)
+    S.close_storage(sto2)
+    # and the raw bytes on disk really are big-endian
+    with open(path, "rb") as f:
+        raw = f.read()
+    arr = np.frombuffer(raw[-6 * 8:], dtype=">f8").reshape(dim)
+    np.testing.assert_array_equal(arr, want)

@@ -111,6 +111,33 @@ def test_tracked_ops_record(monkeypatch):
         flags.clear_cache()
 
 
+def test_tracked_nested_flops_under_path(monkeypatch):
+    """Flops recorded by @tracked ops land under the SAME hierarchical
+    path as the timing — a bare-name bucket would misreport GFLOPS when
+    ops nest (e.g. multigrid calling bsr_krylov)."""
+    from superbblas_tpu import flags
+    from superbblas_tpu.utils.tracker import (get_timings, reset_timings,
+                                              track, tracked)
+
+    monkeypatch.setenv("SBT_TRACK_TIME", "1")
+    flags.clear_cache()
+    try:
+        reset_timings()
+
+        @tracked("leaf", flops_fn=lambda out, *a, **k: 42.0)
+        def leaf():
+            return jnp.ones(())
+
+        with track("outer"):
+            leaf()
+        t = get_timings()
+        assert t["outer/leaf"]["flops"] == 42.0
+        assert "leaf" not in t
+    finally:
+        flags.clear_cache()
+        reset_timings()
+
+
 def test_memory_leak_check():
     import jax.numpy as jnp
 
