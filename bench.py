@@ -1,25 +1,35 @@
-"""Headline benchmark: dense label-driven contraction GFLOP/s on one chip.
+"""Headline benchmark: the flagship hot paths on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {..}}
 
-The reference publishes no numbers (BASELINE.md); the driver-provided
-target is >= 60% MXU utilization on dense contractions.  ``vs_baseline``
-is therefore achieved-GFLOP/s divided by that target (0.6 x peak bf16
-FLOP/s of the local chip): >= 1.0 means the target is met.
+The default line is a COMPOSITE over the three flagship paths — dense
+MXU contraction, the SoA/Pallas Wilson matvec, and the Pallas permute —
+with ``vs_baseline`` the MIN of the three individual ratios (all must
+hold their target for the composite to pass) and per-path numbers in
+``detail``.  The reference publishes no numbers (BASELINE.md); targets
+are derived per chip generation from the hardware tables below:
+
+  dense    >= 60% of the chip's peak bf16 FLOP/s (MXU utilization)
+  matvec   model bytes moved / chip HBM bandwidth (streaming roofline)
+  permute  achieved GB/s / chip HBM bandwidth... scaled so 1.0 means the
+           40% of peak a tiled transpose realistically sustains
 
 Methodology: the device sits behind a high-latency tunnel in this
 environment (dispatch+fetch ~25 ms), so each measurement chains the
 workload N times inside one jitted lax.scan, fetches a scalar, and uses
-two-point timing ((t(N2)-t(N1)) / (N2-N1)) to cancel the fixed latency.
+two-point timing ((t(N2)-t(N1)) / (N2-N1)) with median-of-repeats to
+cancel the fixed latency.
 
---all additionally prints:
+--all additionally prints the individual lines:
+  dense_contraction_gflops        big batched bf16 GEMM
   bsr_wilson_matvec_gflops        SoA/Pallas Wilson matvec (dense-flop
-                                  model; vs_baseline = model GB/s / 800)
+                                  model; vs_baseline = model GB/s /
+                                  chip HBM bandwidth)
   permute_copy_bandwidth          Pallas tiled label-reversal transpose
   eo_packed_hopping_gflops        packed even-odd hopping (vs_baseline =
-                                  rate relative to the full matvec's
-                                  8.5 TF/s reference point)
+                                  rate relative to the SAME-RUN full
+                                  matvec — packed should win)
   shift_redistribution_bandwidth  toroidal shift (halo-class move)
 """
 
@@ -38,13 +48,32 @@ PEAKS = {
     "cpu": 1e11,
 }
 
+# Per-chip HBM bandwidth (bytes/s): the denominator of every
+# bandwidth-bound target (round-1 hardcoded 800 GB/s — wrong off-v5e).
+BANDWIDTHS = {
+    "v5 lite": 819e9,    # TPU v5e
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6": 1640e9,        # Trillium / v6e
+    "cpu": 50e9,
+}
 
-def chip_peak(device) -> float:
+
+def _chip_lookup(device, table, default):
     kind = getattr(device, "device_kind", "cpu").lower()
-    for key, val in PEAKS.items():
+    for key, val in table.items():
         if key in kind:
             return val
-    return 197e12
+    return default
+
+
+def chip_peak(device) -> float:
+    return _chip_lookup(device, PEAKS, 197e12)
+
+
+def chip_bandwidth(device) -> float:
+    return _chip_lookup(device, BANDWIDTHS, 819e9)
 
 
 def time_chained(make_fn, n1=100, n2=500):
@@ -225,47 +254,64 @@ def bench_shift(shape=(128, 64, 64, 128)):
     return nbytes / dt / 1e9, dt
 
 
+def _flagship(dev):
+    """Measure the three flagship paths; per-chip-derived baselines."""
+    bw_gb = chip_bandwidth(dev) / 1e9
+    dense_gf, _ = bench_contraction()
+    dense_vs = dense_gf / (0.6 * chip_peak(dev) / 1e9)
+    bsr_gf, bsr_gb, _ = bench_bsr()
+    bsr_vs = bsr_gb / bw_gb          # streaming roofline fraction
+    cp_gb, _ = bench_copy()
+    cp_vs = cp_gb / (0.4 * bw_gb)    # tiled transpose realistic peak
+    return {
+        "dense_contraction_gflops": (dense_gf, "GFLOP/s", dense_vs),
+        "bsr_wilson_matvec_gflops": (bsr_gf, "GFLOP/s", bsr_vs),
+        "permute_copy_bandwidth": (cp_gb, "GB/s", cp_vs),
+    }
+
+
 def main():
     import jax
 
     dev = jax.devices()[0]
-    gflops, dt = bench_contraction()
-    target = 0.6 * chip_peak(dev) / 1e9
+    results = _flagship(dev)
+    if "--all" not in sys.argv:
+        # ONE composite line: min vs_baseline across the flagship paths
+        vs = min(v for _, _, v in results.values())
+        print(json.dumps({
+            "metric": "flagship_composite",
+            "value": round(vs, 4),
+            "unit": "min_vs_baseline",
+            "vs_baseline": round(vs, 4),
+            "detail": {k: {"value": round(val, 1), "unit": unit,
+                           "vs_baseline": round(r, 4)}
+                       for k, (val, unit, r) in results.items()},
+        }))
+        return
+
+    for k, (val, unit, r) in results.items():
+        print(json.dumps({
+            "metric": k,
+            "value": round(val, 1),
+            "unit": unit,
+            "vs_baseline": round(r, 4),
+        }))
+    eo_gf, eo_dt = bench_eo_packed()
+    bsr_gf = results["bsr_wilson_matvec_gflops"][0]
     print(json.dumps({
-        "metric": "dense_contraction_gflops",
-        "value": round(gflops, 1),
+        "metric": "eo_packed_hopping_gflops",
+        "value": round(eo_gf, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / target, 4),
+        # packed even-odd should BEAT the same-run full matvec
+        "vs_baseline": round(eo_gf / max(bsr_gf, 1e-9), 4),
     }))
-    if "--all" in sys.argv:
-        bsr_gf, bsr_gb, bsr_dt = bench_bsr()
-        print(json.dumps({
-            "metric": "bsr_wilson_matvec_gflops",
-            "value": round(bsr_gf, 1),
-            "unit": "GFLOP/s",
-            "vs_baseline": round(bsr_gb / 800.0, 4),  # vs ~800 GB/s HBM
-        }))
-        cp_gb, cp_dt = bench_copy()
-        print(json.dumps({
-            "metric": "permute_copy_bandwidth",
-            "value": round(cp_gb, 1),
-            "unit": "GB/s",
-            "vs_baseline": round(cp_gb / 800.0, 4),
-        }))
-        eo_gf, eo_dt = bench_eo_packed()
-        print(json.dumps({
-            "metric": "eo_packed_hopping_gflops",
-            "value": round(eo_gf, 1),
-            "unit": "GFLOP/s",
-            "vs_baseline": round(eo_gf / 1000.0 / 8.5, 4),  # vs full matvec
-        }))
-        sh_gb, sh_dt = bench_shift()
-        print(json.dumps({
-            "metric": "shift_redistribution_bandwidth",
-            "value": round(sh_gb, 1),
-            "unit": "GB/s",
-            "vs_baseline": round(sh_gb / 800.0, 4),
-        }))
+    sh_gb, sh_dt = bench_shift()
+    print(json.dumps({
+        "metric": "shift_redistribution_bandwidth",
+        "value": round(sh_gb, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(sh_gb / (chip_bandwidth(dev) / 1e9), 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -112,7 +112,7 @@ class BSROperator:
     blocks: jax.Array
     offsets: Tuple[Coor, ...] = ()
     jj_flat: Optional[jax.Array] = None
-    row_counts: Optional[Tuple[int, ...]] = None   # per-row nnz (gather mode)
+    row_counts: Optional[jax.Array] = None   # [voli] per-row nnz (gather)
     kron: Optional[jax.Array] = None     # [ndir, KI, KD]
     kron_i: str = ""
     kron_d: str = ""
@@ -128,18 +128,21 @@ class BSROperator:
     # -- pytree protocol: array leaves + hashable metadata, so operators
     # can be passed straight through jit / shard_map boundaries ----------
     def tree_flatten(self):
-        children = (self.blocks, self.jj_flat, self.kron)
+        # row_counts is DATA (a voli-long vector), not static metadata: as
+        # aux it would be hashed into every jit compile-cache key (the
+        # round-1 compile-cache liability on big lattices)
+        children = (self.blocks, self.jj_flat, self.kron, self.row_counts)
         aux = (self.oim, self.odm, self.lat_i, self.lat_d, self.blk_i,
                self.blk_d, self.dim_i, self.dim_d, self.bi, self.bd,
-               self.mode, self.offsets, self.row_counts, self.kron_i,
+               self.mode, self.offsets, self.kron_i,
                self.kron_d, self.ki, self.kd)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        blocks, jj_flat, kron = children
+        blocks, jj_flat, kron, row_counts = children
         (oim, odm, lat_i, lat_d, blk_i, blk_d, dim_i, dim_d, bi, bd,
-         mode, offsets, row_counts, kron_i, kron_d, ki, kd) = aux
+         mode, offsets, kron_i, kron_d, ki, kd) = aux
         return cls(
             oim=oim, odm=odm, lat_i=lat_i, lat_d=lat_d, blk_i=blk_i,
             blk_d=blk_d, dim_i=dim_i, dim_d=dim_d, bi=bi, bd=bd, mode=mode,
@@ -333,7 +336,7 @@ def create_bsr(
     return BSROperator(
         mode="gather", blocks=values,
         jj_flat=jnp.asarray(jj_flat),
-        row_counts=tuple(int(v) for v in ii.reshape(-1)), **common,
+        row_counts=jnp.asarray(ii.reshape(-1).astype(np.int32)), **common,
     )
 
 
@@ -373,20 +376,27 @@ def create_kron_bsr(
     kron_d = "".join(c for c, k in zip(odm, kron_dm) if k > 1)
     ki = tuple(k for k in kron_im if k > 1)
     kd = tuple(k for k in kron_dm if k > 1)
-    kron_values = kron_values.reshape((-1, volume(ki), volume(kd))
-                                      if not block_image_fast
-                                      else (-1, volume(kd), volume(ki)))
+    kron_values = cplx.asarray(kron_values)
+    kron_values = _reshape(kron_values,
+                           (-1, volume(ki), volume(kd))
+                           if not block_image_fast
+                           else (-1, volume(kd), volume(ki)))
     if block_image_fast:
-        kron_values = jnp.swapaxes(kron_values, -1, -2)
-    if base.mode != "stencil":
-        raise NotImplementedError(
-            "kron BSR requires a uniform stencil structure"
-        )
+        kron_values = (cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2),
+                                 kron_values)
+                       if cplx.is_carray(kron_values)
+                       else jnp.swapaxes(kron_values, -1, -2))
+    # Non-uniform (site-dependent) structure keeps the gather plan: the
+    # spin factor of slot k applies to every row's k-th neighbor, exactly
+    # the reference's per-nonzero kron indexing (bsr.h:398-451); rows
+    # shorter than max_nnz have their color blocks zeroed, which nulls
+    # the kron contribution too.
     return BSROperator(
         oim=oim, odm=odm, lat_i=base.lat_i, lat_d=base.lat_d,
         blk_i=base.blk_i, blk_d=base.blk_d,
         dim_i=base.dim_i, dim_d=base.dim_d, bi=base.bi, bd=base.bd,
-        mode="stencil", blocks=base.blocks, offsets=base.offsets,
+        mode=base.mode, blocks=base.blocks, offsets=base.offsets,
+        jj_flat=base.jj_flat, row_counts=base.row_counts,
         kron=kron_values, kron_i=kron_i, kron_d=kron_d, ki=ki, kd=kd,
     )
 
@@ -487,6 +497,37 @@ def _apply_gather(op: BSROperator, xc: jax.Array) -> jax.Array:
         preferred_element_type=_acc_dtype(a.dtype),
     )  # [voli, BI, N]
     return _reshape(y, op.dim_i + (y.shape[-2], N)).astype(xc.dtype)
+
+
+def _apply_gather_kron(op: BSROperator, xc: jax.Array) -> jax.Array:
+    """Kronecker-factored matvec on IRREGULAR (gathered) neighbor lists —
+    the general create_kron_bsr regime (bsr.h:2302-2336, kron kernels
+    bsr.h:398-451): site-dependent sparsity (open boundaries, defects)
+    with the two-stage color-then-spin contraction preserved.
+
+    xc: [*lat_d, KD, BD, N] -> [*lat_i, KI, BI, N].
+    """
+    nlat = len(op.dim_d)
+    KD, BD, N = xc.shape[-3], xc.shape[-2], xc.shape[-1]
+    xf = _reshape(xc, (-1, KD, BD, N))
+    xg = _idx(xf, op.jj_flat)                 # [voli, nnz, KD, BD, N]
+    a = _reshape(op.blocks, (-1,) + op.blocks.shape[nlat:])  # [voli, nnz, BI, BD]
+    # stage 1 (color): contract BD per (site, slot)
+    t = cplx.cdot_general(
+        a, xg,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=_acc_dtype(a.dtype),
+    )  # [voli, nnz, BI, KD, N]
+    # stage 2 (spin): kron[k, KI, KD] summed over (slot, KD); padded
+    # slots carry zeroed color blocks, so they contribute nothing
+    y = cplx.cdot_general(
+        op.kron, t,
+        dimension_numbers=(((0, 2), (1, 3)), ((), ())),
+        preferred_element_type=_acc_dtype(a.dtype),
+    )  # [KI, voli, BI, N]
+    y = (cplx.cmap(lambda v: jnp.moveaxis(v, 0, 1), y)
+         if cplx.is_carray(y) else jnp.moveaxis(y, 0, 1))
+    return _reshape(y, op.dim_i + y.shape[1:]).astype(xc.dtype)
 
 
 @_tracked("apply_stencil_soa",
@@ -616,8 +657,11 @@ def bsr_krylov(
             if o.kron is None:
                 y = cplx.cmap(lambda a: a[..., 0, :, :], y)
             return y
+    elif op.mode == "stencil":
+        apply_fn = _apply_stencil
     else:
-        apply_fn = _apply_stencil if op.mode == "stencil" else _apply_gather
+        apply_fn = (_apply_gather_kron if op.kron is not None
+                    else _apply_gather)
 
     if power > 1 and (volume(op.bi) != volume(op.bd) or op.dim_i != op.dim_d
                       or (op.kron is not None and volume(op.ki) != volume(op.kd))):

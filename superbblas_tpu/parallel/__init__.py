@@ -18,6 +18,7 @@ from .redistribute import (
     make_plan,
     may_need_communications,
     pack_global,
+    redistribute_auto,
     redistribute_explicit,
     unpack_global,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "make_plan",
     "may_need_communications",
     "pack_global",
+    "redistribute_auto",
     "redistribute_explicit",
     "unpack_global",
 ]

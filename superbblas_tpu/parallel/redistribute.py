@@ -63,7 +63,7 @@ from .. import cplx, flags
 from ..labels import intersect_box, volume
 from .partition import Partition, box_minus
 
-__all__ = ["RedistributionPlan", "make_plan", "redistribute_explicit",
+__all__ = ["RedistributionPlan", "make_plan", "redistribute_auto", "redistribute_explicit",
            "pack_global", "unpack_global", "may_need_communications"]
 
 
@@ -642,6 +642,71 @@ def _debug_replay(plan: RedistributionPlan, src: Partition, dst: Partition,
                 f"local coords {bad[:5].tolist()} (method={method}, "
                 f"block={plan.block}) — the communication plan is "
                 "corrupt (ns_copy_test analog, dist.h:1919-2116)")
+
+
+# ---------------------------------------------------------------------------
+# unified entry: GSPMD when expressible, explicit collectives otherwise
+
+
+def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = None,
+                 mesh: Optional[Mesh] = None, axis: str = "p",
+                 copy_add: str = "copy", method: str = "auto"):
+    """Move ``x`` from partition ``src`` to ``dst``, picking the path
+    automatically — the reference's single ``copy()`` entry (dist.h:3534)
+    that internally chooses direct assignment vs send_receive.
+
+    Two container forms are accepted and preserved:
+
+      * **global** array of shape ``src.dim`` (requires ``order``, the
+        lattice labels): when ``dst`` is NamedSharding-expressible
+        (regular grid / replicated / on-master — see
+        mesh.partition_sharding) and ``copy_add == "copy"``, this is ONE
+        ``jax.device_put`` and GSPMD emits the collectives.  Otherwise
+        the array is staged through the stacked-local explicit path
+        (host round-trip — checkpoint-class, not a hot path).
+      * **stacked-local** ``[nprocs, *src_max_shape]`` sharded over
+        ``mesh`` axis ``axis`` (the irregular-partition container):
+        always the explicit blocked-run collective path.
+    """
+    if cplx.is_carray(x):
+        return cplx.CArray(
+            redistribute_auto(x.re, src, dst, order, mesh, axis, copy_add,
+                         method),
+            redistribute_auto(x.im, src, dst, order, mesh, axis, copy_add,
+                         method))
+    n = len(src.boxes)
+    src_shape = tuple(max((b[1][i] for b in src.boxes), default=0)
+                      for i in range(len(src.dim)))
+    shp = tuple(x.shape)
+    if len(shp) == len(src.dim) + 1 and shp[0] == n and shp[1:] == src_shape:
+        if mesh is None:
+            raise ValueError("stacked-local redistribution needs a mesh")
+        return redistribute_explicit(x, src, dst, mesh, axis=axis,
+                                     copy_add=copy_add, method=method)
+    if shp != tuple(src.dim):
+        raise ValueError(
+            f"x has shape {shp}: neither the global form {tuple(src.dim)} "
+            f"nor the stacked-local form {(n,) + src_shape}")
+    if order is None:
+        raise ValueError("global-array redistribution needs the label order")
+    from .mesh import partition_sharding
+
+    s_dst = partition_sharding(dst, order)
+    if s_dst is not None and copy_add == "copy":
+        return jax.device_put(x, s_dst)
+
+    # explicit fallback: stage through the stacked-local container
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()[:n]), (axis,))
+    stack = pack_global(np.asarray(jax.device_get(x)), src)
+    xd = jax.device_put(
+        jnp.asarray(stack),
+        NamedSharding(mesh, PartitionSpec(
+            axis, *([None] * (stack.ndim - 1)))))
+    out = redistribute_explicit(xd, src, dst, mesh, axis=axis,
+                                copy_add=copy_add, method=method)
+    glob = jnp.asarray(unpack_global(np.asarray(out), dst))
+    return jax.device_put(glob, s_dst) if s_dst is not None else glob
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ def apply_stencil_soa_sharded(
     mesh: Mesh,
     axes: Dict[str, Optional[str]],
     power: int = 1,
+    interpret: Optional[bool] = None,
 ):
     """y = A^power x on a lattice-sharded SoA operand through the Pallas
     kernel (one halo exchange total).
@@ -52,7 +53,9 @@ def apply_stencil_soa_sharded(
     ``axes`` (lattice label -> mesh axis; only the first two lattice
     axes may be sharded).  ``op`` must be an SoA-layout operator with the
     same sharding on its blocks.  Returns [n, KI*BI, X, Y, Z, T] with the
-    input sharding.
+    input sharding.  ``interpret=True`` forces the Pallas kernel in
+    interpreter mode (the virtual-mesh validation path — the driver's
+    multi-chip dry run exercises the REAL kernel this way).
     """
     if op.mode != "stencil_soa":
         raise ValueError("requires an SoA-layout stencil operator")
@@ -103,7 +106,7 @@ def apply_stencil_soa_sharded(
 
         cur = x_e
         for _ in range(power):
-            cur = apply_stencil_soa(lop, cur)
+            cur = apply_stencil_soa(lop, cur, interpret=interpret)
 
         return crop_halos(cur, w_arr)
 

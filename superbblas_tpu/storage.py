@@ -130,6 +130,9 @@ class Storage:
     # atomic per save
     _lock: threading.RLock = field(default_factory=threading.RLock,
                                    repr=False, compare=False)
+    # lazy spatial index over blocks (GridHash, storage.h:552-684);
+    # invalidated by append_blocks
+    _grid: Optional[object] = field(default=None, repr=False, compare=False)
 
     @property
     def ndim(self) -> int:
@@ -293,6 +296,7 @@ def append_blocks(sto: Storage, boxes) -> None:
             crc = _blocked_crc(b"\x00" * nbytes, sto.checksum_blocksize)
             f.write(struct.pack("<d", float(crc)))
     sto.blocks.extend(new_blocks)
+    sto._grid = None          # spatial index rebuilt lazily on next query
     sto._data_end = f.tell()
 
     sto.num_chunks += 1
@@ -301,28 +305,96 @@ def append_blocks(sto: Storage, boxes) -> None:
     f.flush()
 
 
+class _GridHash:
+    """Coarse-grid spatial index over declared blocks (the reference's
+    GridHash, storage.h:552-684): blocks are bucketed into toroidal grid
+    cells whose extent is at least the largest block extent per axis, so
+    every block touches at most 2 cells per axis and a query inspects
+    only the blocks of the cells its request box covers — O(cells +
+    candidates) instead of O(nblocks) per save/load."""
+
+    def __init__(self, dim, blocks):
+        nd = len(dim)
+        self.dim = dim
+        cell_min = [max((b.size[a] for b in blocks), default=1) or 1
+                    for a in range(nd)]
+        self.ncells = tuple(max(1, d // max(1, c))
+                            for d, c in zip(dim, cell_min))
+        # boundaries at i*cell; the last cell absorbs the remainder
+        self.cell = tuple(-(-d // n) for d, n in zip(dim, self.ncells))
+        self.buckets = {}
+        for idx, b in enumerate(blocks):
+            if volume(b.size) == 0:
+                continue
+            for ci in self._cells_of(b.frm, b.size):
+                self.buckets.setdefault(ci, []).append(idx)
+
+    def _axis_cells(self, f, s, ax):
+        d, c, n = self.dim[ax], self.cell[ax], self.ncells[ax]
+        if s >= d:
+            return range(n)
+        out = []
+        pos = f % d
+        remaining = s
+        while remaining > 0:
+            ci = min(pos // c, n - 1)
+            out.append(ci)
+            nxt = d if ci == n - 1 else (ci + 1) * c
+            step = nxt - pos
+            pos = (pos + step) % d
+            remaining -= step
+        return out
+
+    def _cells_of(self, frm, size):
+        import itertools as _it
+
+        per_axis = [self._axis_cells(f, s, a)
+                    for a, (f, s) in enumerate(zip(frm, size))]
+        return _it.product(*per_axis)
+
+    def query(self, frm, size):
+        """Candidate block indices whose cells the request box touches."""
+        out = set()
+        for ci in self._cells_of(frm, size):
+            out.update(self.buckets.get(ci, ()))
+        return sorted(out)
+
+
+# below this count a linear sweep beats building/consulting the index
+_GRID_MIN_BLOCKS = 64
+
+
 def _block_intersections(sto: Storage, frm, size):
     """All (block, ifrom, isize) overlaps of the toroidal request box with
     the declared blocks — the reference's GridHash spatial query
-    (storage.h:552-684).  Uses the native C++ batch intersection sweep
-    when available, else the Python box algebra."""
+    (storage.h:552-684).  Large manifests go through the coarse-grid
+    index; the exact intersections use the native C++ batch sweep when
+    available, else the Python box algebra."""
     if not sto.blocks:
         return
     from . import native
 
+    if len(sto.blocks) >= _GRID_MIN_BLOCKS:
+        if sto._grid is None:
+            sto._grid = _GridHash(sto.dim, sto.blocks)
+        cand = sto._grid.query(frm, size)
+        blocks = [sto.blocks[i] for i in cand]
+    else:
+        blocks = sto.blocks
+
     rows = native.intersect_all(
         [[frm, size]],
-        [[b.frm, b.size] for b in sto.blocks], sto.dim)
+        [[b.frm, b.size] for b in blocks], sto.dim) if blocks else None
     if rows is not None:
         nd = sto.ndim
         for r in rows:
             isize = tuple(int(v) for v in r[2 + nd:2 + 2 * nd])
             if volume(isize) == 0:
                 continue
-            yield (sto.blocks[int(r[1])],
+            yield (blocks[int(r[1])],
                    tuple(int(v) for v in r[2:2 + nd]), isize)
         return
-    for blk in sto.blocks:
+    for blk in blocks:
         for ifrom, isize in intersect_box(frm, size, blk.frm, blk.size,
                                           sto.dim):
             if volume(isize):

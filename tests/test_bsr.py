@@ -183,6 +183,100 @@ def test_kron_bsr_matches_materialized():
     )
 
 
+def test_kron_bsr_nonuniform_structure():
+    """General create_kron_bsr (bsr.h:2302-2336): site-dependent sparsity
+    (an open-boundary operator — boundary rows lose their outward
+    neighbor) with the kron factorization kept.  Oracle: the elementwise
+    sum of kron(spin[k], color[site, k]) @ x[neighbor] over the VALID
+    slots of each row; also cross-checked against the plain (gather)
+    BSR of the materialized blocks."""
+    dim = (5,)
+    KI = KD = 2
+    CI = CD = 3
+    maxnnz = 3
+    # open boundary: site 0 has no left neighbor, site 4 no right one
+    ii = np.array([2, 3, 3, 3, 2])
+    jj = np.zeros((5, maxnnz, 1), dtype=np.int64)
+    for s in range(5):
+        nbrs = [s] + [n for n in (s - 1, s + 1) if 0 <= n < 5]
+        jj[s, :len(nbrs), 0] = nbrs
+        jj[s, len(nbrs):, 0] = s          # padded slots
+    rng = np.random.default_rng(12)
+    color = rng.standard_normal((5, maxnnz, CI, CD))
+    spin = rng.standard_normal((maxnnz, KI, KD))
+
+    op = B.create_kron_bsr(
+        "XSc", (5, KI, CI), "XSc", (5, KD, CD),
+        (1, 1, CI), (1, 1, CD), (1, KI, 1), (1, KD, 1),
+        ii, jj, jnp.asarray(color), jnp.asarray(spin),
+    )
+    assert op.mode == "gather" and op.kron is not None
+
+    x = rng.standard_normal((5, KD, CD, 4))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "XScn")
+
+    want = np.zeros((5, KI, CI, 4))
+    for s in range(5):
+        for k in range(int(ii[s])):
+            nb = int(jj[s, k, 0])
+            want[s] += np.einsum("ab,cd,bdn->acn",
+                                 spin[k], color[s, k], x[nb])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+    # cross-check: plain gather BSR of the materialized kron blocks
+    mats = np.einsum("kab,skcd->skacbd", spin, color).reshape(
+        (5, maxnnz, KI * CI, KD * CD))
+    plain = B.create_bsr("Xz", (5, KI * CI), "Xz", (5, KD * CD),
+                         (1, KI * CI), (1, KD * CD), ii, jj,
+                         jnp.asarray(mats))
+    assert plain.mode == "gather"
+    want2 = B.bsr_krylov(1.0, plain, jnp.asarray(
+        x.reshape((5, KD * CD, 4))), "Xzn")
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want2).shape),
+        np.asarray(want2), rtol=1e-12)
+
+    # flop model covers both contraction stages
+    assert op.flops_per_matvec(4, False) > 0
+
+
+def test_kron_bsr_nonuniform_complex():
+    """The irregular kron path on split-complex operands (the production
+    dtype): equals the materialized complex oracle."""
+    from superbblas_tpu import cplx
+
+    dim = (4,)
+    KI = KD = 2
+    CI = CD = 2
+    maxnnz = 2
+    ii = np.array([1, 2, 2, 1])
+    jj = np.zeros((4, maxnnz, 1), dtype=np.int64)
+    jj[0, :, 0] = [0, 0]
+    jj[1, :, 0] = [0, 2]
+    jj[2, :, 0] = [2, 3]
+    jj[3, :, 0] = [3, 3]
+    rng = np.random.default_rng(13)
+    color = rng.standard_normal((4, maxnnz, CI, CD)) \
+        + 1j * rng.standard_normal((4, maxnnz, CI, CD))
+    spin = rng.standard_normal((maxnnz, KI, KD)) \
+        + 1j * rng.standard_normal((maxnnz, KI, KD))
+    op = B.create_kron_bsr(
+        "XSc", (4, KI, CI), "XSc", (4, KD, CD),
+        (1, 1, CI), (1, 1, CD), (1, KI, 1), (1, KD, 1),
+        ii, jj, cplx.from_complex(color), cplx.from_complex(spin))
+    assert op.mode == "gather"
+    x = rng.standard_normal((4, KD, CD, 3)) \
+        + 1j * rng.standard_normal((4, KD, CD, 3))
+    got = B.bsr_krylov(1.0, op, cplx.from_complex(x), "XScn")
+    want = np.zeros((4, KI, CI, 3), dtype=complex)
+    for s in range(4):
+        for k in range(int(ii[s])):
+            want[s] += np.einsum("ab,cd,bdn->acn",
+                                 spin[k], color[s, k], x[int(jj[s, k, 0])])
+    np.testing.assert_allclose(np.asarray(got.re) + 1j * np.asarray(got.im),
+                               want, rtol=1e-12)
+
+
 def test_operator_powers():
     """okr label: y_p = alpha * A^{p+1} x (bsr.h:2140-2247 semantics)."""
     dim = (4,)

@@ -340,6 +340,41 @@ def test_debug_ladder_catches_corrupt_plan(mesh1d, monkeypatch):
         R.make_plan.cache_clear()
 
 
+def test_unified_redistribute_entry(mesh1d):
+    """parallel.redistribute_auto picks the path automatically (the single
+    copy() entry of the reference, dist.h:3534): GSPMD device_put for
+    NamedSharding-expressible destinations, the explicit collective path
+    for uneven/wrapped ones, and the stacked-local form directly."""
+    dim = (8, 8)
+    x = np.random.default_rng(0).standard_normal(dim)
+    xj = jnp.asarray(x)
+
+    # regular grid -> GSPMD path (output carries the grid sharding)
+    src = par.basic_partitioning("xy", dim, (4, 2))
+    dst = par.basic_partitioning("xy", dim, (2, 4))
+    out = par.redistribute_auto(xj, src, dst, order="xy")
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert not isinstance(out.sharding, jax.sharding.SingleDeviceSharding)
+
+    # uneven destination -> explicit fallback, still exact
+    dst_uneven = par.basic_partitioning("xy", (8, 8), (5, 1), nprocs=8)
+    out2 = par.redistribute_auto(xj, src, dst_uneven, order="xy", mesh=mesh1d)
+    np.testing.assert_array_equal(np.asarray(out2), x)
+
+    # stacked-local form goes through the explicit path and stays stacked
+    stack = put(R.pack_global(x, src), mesh1d)
+    out3 = par.redistribute_auto(stack, src, dst, mesh=mesh1d)
+    np.testing.assert_array_equal(
+        R.unpack_global(np.asarray(out3), dst), x)
+
+    # add semantics force the explicit path even on regular grids
+    srcr = par.basic_partitioning("xy", dim, (1, 1), nprocs=8,
+                                  replicate=True)
+    out4 = par.redistribute_auto(jnp.ones(dim), srcr, dst, order="xy",
+                            mesh=mesh1d, copy_add="add")
+    np.testing.assert_array_equal(np.asarray(out4), 8 * np.ones(dim))
+
+
 def test_components_partition_redistribution(mesh1d):
     """Multi-component partitions (the reference's multiple devices per
     rank, dist.h:205-241; tests/bsr.cpp --components=2): each component

@@ -173,6 +173,79 @@ def test_big_endian_file_read(tmp_path):
     S.close_storage(sto)
 
 
+def test_gridhash_partial_load_many_blocks(tmp_path):
+    """GridHash spatial index (storage.h:552-684): open + partial load on
+    a 10^4-block manifest completes in well under a second because the
+    query inspects only candidate cells, not the full block list."""
+    import time
+
+    p = str(tmp_path / "many.s3t")
+    n = 10_000
+    dim = (n, 4)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+    S.append_blocks(sto, [((i, 0), (1, 4)) for i in range(n)])
+    # write some recognizable values into a few scattered rows
+    for row in (0, 1234, 9999):
+        S.save(1.0, np.full((1, 4), float(row)), "xy", sto, "xy",
+               from1=(row, 0))
+    S.close_storage(sto)
+
+    t0 = time.perf_counter()
+    sto2 = S.open_storage(p, mode="r")
+    out = np.zeros((3, 4))
+    for k, row in enumerate((0, 1234, 9999)):
+        got = S.load(1.0, sto2, np.zeros((1, 4)), "xy", from0=(row, 0),
+                     size0=(1, 4))
+        out[k] = got
+    elapsed = time.perf_counter() - t0
+    S.close_storage(sto2)
+    np.testing.assert_array_equal(out, [[0.0] * 4, [1234.0] * 4,
+                                        [9999.0] * 4])
+    assert elapsed < 1.0, elapsed
+
+
+def test_gridhash_matches_linear_sweep(tmp_path):
+    """Index correctness fuzz: the GridHash query path yields exactly the
+    intersections of the linear sweep, on wrapped and overlapping
+    request boxes."""
+    p = str(tmp_path / "gh.s3t")
+    dim = (32, 24)
+    rng = np.random.default_rng(5)
+    boxes = []
+    for _ in range(80):    # above _GRID_MIN_BLOCKS
+        f = (int(rng.integers(0, 32)), int(rng.integers(0, 24)))
+        s = (int(rng.integers(1, 9)), int(rng.integers(1, 7)))
+        boxes.append((f, s))
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+    S.append_blocks(sto, boxes)
+    assert len(sto.blocks) >= S._GRID_MIN_BLOCKS
+
+    def collect(use_grid):
+        out = []
+        for case in range(30):
+            f = (int(rng.integers(0, 32)), int(rng.integers(0, 24)))
+            s = (int(rng.integers(1, 33)), int(rng.integers(1, 25)))
+            hits = sorted(
+                (b.values_offset, ifrom, isize)
+                for b, ifrom, isize in S._block_intersections(sto, f, s))
+            out.append(hits)
+        return out
+
+    rng = np.random.default_rng(6)
+    with_grid = collect(True)
+    # force the linear sweep by shrinking below the threshold
+    rng = np.random.default_rng(6)
+    orig = S._GRID_MIN_BLOCKS
+    S._GRID_MIN_BLOCKS = 10 ** 9
+    try:
+        sto._grid = None
+        linear = collect(False)
+    finally:
+        S._GRID_MIN_BLOCKS = orig
+    assert with_grid == linear
+    S.close_storage(sto)
+
+
 def test_big_endian_file_write_roundtrip(tmp_path):
     """Writes into a byteswapped (reference-written, big-endian) storage
     must keep the file's declared endianness: a read-modify-write through
