@@ -36,7 +36,7 @@ from .wilson import _inner, apply_wilson, apply_wilson_dagger
 
 __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
            "two_grid_preconditioner", "symmetric_two_grid_preconditioner",
-           "two_grid_error_contraction",
+           "two_grid_error_contraction", "chebyshev_smoother",
            "build_hierarchy", "vcycle_preconditioner"]
 
 
@@ -209,31 +209,74 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
     return prec
 
 
+def chebyshev_smoother(A: Callable, lam_max: float, degree: int = 4,
+                       theta: float = 30.0):
+    """Degree-``degree`` Chebyshev smoother x = p(A) r targeting the band
+    [lam_max/theta, lam_max] (the standard d-term recurrence).
+
+    p is a polynomial in A with p > 0 on the band, so cycles built from
+    it stay SPD for pcg — unlike a single Richardson step, it damps the
+    WHOLE upper band per application, which is what unlocks multigrid on
+    near-critical operators (measured on the 4^4 mass=-1.8 demo:
+    Richardson V(1,1) pcg ~1.4x over plain CG; Chebyshev d=4 ~5x, d=6
+    ~7.6x iteration reduction — experiments/mg_chebyshev.py).  Reference
+    analog: the polynomial smoothers Chroma-class multigrid stacks run
+    over bsr_krylov handles (bsr.h:2353)."""
+    lo, hi = lam_max / theta, lam_max
+    th = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = th / delta
+
+    def smooth(r):
+        rho = 1.0 / sigma
+        x = cplx.CArray(r.re / th, r.im / th)
+        if degree == 1:
+            return x
+        res = cplx.CArray(r.re - A(x).re, r.im - A(x).im)
+        d = cplx.CArray(res.re * (rho / delta), res.im * (rho / delta))
+        for _ in range(degree - 1):
+            x = cplx.CArray(x.re + d.re, x.im + d.im)
+            res = cplx.CArray(res.re - A(d).re, res.im - A(d).im)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = cplx.CArray(
+                (rho * rho_new) * d.re + (2.0 * rho_new / delta) * res.re,
+                (rho * rho_new) * d.im + (2.0 * rho_new / delta) * res.im)
+            rho = rho_new
+        return x
+
+    return smooth
+
+
 def symmetric_two_grid_preconditioner(op: BSROperator, P: cplx.CArray,
                                       A_c: cplx.CArray, block=(2, 2, 2, 2),
                                       omega: Optional[float] = None,
-                                      normal: bool = True):
+                                      normal: bool = True,
+                                      cheby_degree: Optional[int] = None,
+                                      cheby_theta: float = 30.0):
     """Symmetrized V(1,1) two-grid cycle usable as a pcg preconditioner.
 
     ``two_grid_preconditioner`` is a stationary-iteration operator: with
     omega=0 it is the (singular) pure coarse correction P A_c^{-1} P^H,
     and with omega>0 it post-smooths only, which makes it NON-symmetric —
     both break preconditioned CG (solvers.pcg requires an SPD M).  This
-    variant wraps the coarse correction with the SAME Richardson smoother
-    on both sides (pre + post), which is symmetric and positive definite
-    for omega < 2/lambda_max:
+    variant wraps the coarse correction with the SAME smoother S on both
+    sides (pre + post), which is symmetric and positive definite:
 
-        x1 = omega r;  x2 = x1 + P A_c^{-1} P^H (r - A x1)
-        M r = x2 + omega (r - A x2)
+        x1 = S r;  x2 = x1 + P A_c^{-1} P^H (r - A x1)
+        M r = x2 + S (r - A x2)
 
-    ``omega`` defaults to 0.8 / lambda_max(A) estimated by power
-    iteration.  Reference analog: the symmetrized multigrid
-    preconditioners Chroma-style stacks run over bsr_krylov handles
-    (bsr.h:2353)."""
+    The smoother is one Richardson step (weight ``omega``, defaulting to
+    0.8 / lambda_max(A) by power iteration) or, with ``cheby_degree``
+    set, a degree-d :func:`chebyshev_smoother` on
+    [lambda_max/cheby_theta, lambda_max] — the configuration that
+    reaches >=5x iteration reduction on the near-critical demo.
+    Reference analog: the symmetrized multigrid preconditioners
+    Chroma-style stacks run over bsr_krylov handles (bsr.h:2353)."""
     def A(x):
         return _level_apply(op, x, normal)
 
-    if omega is None:
+    lam = None
+    if omega is None or cheby_degree is not None:
         from ..solvers import power_iteration
 
         rng = np.random.default_rng(0)
@@ -241,18 +284,28 @@ def symmetric_two_grid_preconditioner(op: BSROperator, P: cplx.CArray,
         probe = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
                             jnp.asarray(rng.standard_normal(shape)))
         lam, _ = power_iteration(A, probe, iters=30)
-        omega = 0.8 / float(lam)
+        lam = float(lam)
+        if omega is None:
+            omega = 0.8 / lam
+
+    if cheby_degree is not None:
+        S = chebyshev_smoother(A, lam * 1.05, degree=cheby_degree,
+                               theta=cheby_theta)
+    else:
+        def S(r):
+            return cplx.CArray(omega * r.re, omega * r.im)
 
     coarse = two_grid_preconditioner(op, P, A_c, block, omega=0.0,
                                      normal=normal)
 
     def prec(r):
-        x1 = cplx.CArray(omega * r.re, omega * r.im)
+        x1 = S(r)
         r1 = cplx.CArray(r.re - A(x1).re, r.im - A(x1).im)
         c = coarse(r1)
         x2 = cplx.CArray(x1.re + c.re, x1.im + c.im)
         r2 = cplx.CArray(r.re - A(x2).re, r.im - A(x2).im)
-        return cplx.CArray(x2.re + omega * r2.re, x2.im + omega * r2.im)
+        s2 = S(r2)
+        return cplx.CArray(x2.re + s2.re, x2.im + s2.im)
 
     return prec
 
