@@ -57,6 +57,7 @@ __all__ = [
     "append_blocks",
     "save",
     "load",
+    "load_stream",
     "check_or_write_checksums",
     "close_storage",
     "save_sharded",
@@ -519,6 +520,37 @@ def load(alpha, sto: Storage, x, o1: str, o0: Optional[str] = None,
     if isinstance(x, jax.Array):
         return jnp.asarray(arr.astype(x.dtype))
     return arr
+
+
+def load_stream(sto: Storage, from0=None, size0=None,
+                max_window_bytes: int = 256 << 20):
+    """Stream the requested file region as (window_from, window_data)
+    pairs WITHOUT assembling it in host memory — the windowed-read analog
+    of the reference's MPI-IO reads (storage.h:1326-1420), for tensors
+    bigger than host RAM.
+
+    Windows are slabs of whole leading-axis rows of the request, each at
+    most ``max_window_bytes``; every yielded window is fully assembled
+    (all intersecting blocks applied) and in file label order.
+    """
+    from0 = tuple(from0) if from0 is not None else (0,) * sto.ndim
+    size0 = tuple(size0) if size0 is not None else sto.dim
+    row_bytes = volume(size0[1:]) * sto.dtype.itemsize
+    rows = max(1, min(size0[0], max_window_bytes // max(row_bytes, 1)))
+    for r0 in range(0, size0[0], rows):
+        wfrom = ((from0[0] + r0) % sto.dim[0],) + from0[1:]
+        wsize = (min(rows, size0[0] - r0),) + size0[1:]
+        window = np.zeros(wsize, dtype=sto.dtype)
+        for blk, ifrom, isize in _block_intersections(sto, wfrom, wsize):
+            data = _read_block(sto, blk)
+            req_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, wfrom, sto.dim))
+            blk_off = tuple((f - g) % d for f, g, d in
+                            zip(ifrom, blk.frm, sto.dim))
+            sl_req = tuple(slice(o, o + s) for o, s in zip(req_off, isize))
+            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+            window[sl_req] = data[sl_blk]
+        yield wfrom, window
 
 
 def _extract_box_np(arr, frm, size):

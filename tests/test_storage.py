@@ -204,6 +204,36 @@ def test_gridhash_partial_load_many_blocks(tmp_path):
     assert elapsed < 1.0, elapsed
 
 
+def test_load_stream_windows(tmp_path):
+    """Windowed streaming read (the MPI-IO windowed-read analog,
+    storage.h:1326-1420): concatenated windows equal the plain load, and
+    the window size honors max_window_bytes."""
+    p = str(tmp_path / "stream.s3t")
+    dim = (16, 8)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(dim)
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+    # two blocks with a toroidal wrap in the second one
+    S.append_blocks(sto, [((0, 0), (10, 8)), ((10, 0), (6, 8))])
+    S.save(1.0, x, "xy", sto, "xy")
+
+    # window = 4 rows (4*8*8 bytes = 256B)
+    rows = []
+    for wfrom, wdata in S.load_stream(sto, max_window_bytes=256):
+        assert wdata.shape[0] <= 4
+        rows.append(wdata)
+    got = np.concatenate(rows, axis=0)
+    np.testing.assert_array_equal(got, x)
+
+    # sub-region request with wrap
+    rows = [w for _, w in S.load_stream(sto, from0=(12, 0), size0=(8, 8),
+                                        max_window_bytes=256)]
+    got = np.concatenate(rows, axis=0)
+    want = x[(np.arange(12, 20) % 16)]
+    np.testing.assert_array_equal(got, want)
+    S.close_storage(sto)
+
+
 def test_gridhash_matches_linear_sweep(tmp_path):
     """Index correctness fuzz: the GridHash query path yields exactly the
     intersections of the linear sweep, on wrapped and overlapping
