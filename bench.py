@@ -233,6 +233,48 @@ def bench_eo_packed(lat=(8, 8, 16, 128), ncols=8):
     return flops / dt / 1e9, dt
 
 
+def bench_redistribute(dim=(2048, 8192)):
+    """Blocked-run explicit redistribution bandwidth on one chip: a
+    toroidally-shifted full-box destination (both axes wrap) drives the
+    gather -> exchange -> scatter machinery through a real plan; with one
+    rank the exchange is local, so this measures the run-blocked
+    pack/unpack data path itself (the dist.h:798-1010 analog).  Target:
+    within 2x of the plain-copy (shift) bandwidth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from superbblas_tpu.parallel import Partition
+    from superbblas_tpu.parallel.redistribute import (
+        make_plan, _execute, _resolve_method)
+
+    # shift by dim/4 on the run axis so the wrap pieces share a FAT gcd
+    # (dim[1]//4): an unaligned shift (e.g. 37) degrades the common block
+    # size to gcd=1 = element-granularity runs — the plan still works but
+    # measures the degenerate path, not the blocked one
+    src = Partition(dim=dim, boxes=(((0, 0), dim),))
+    dst = Partition(dim=dim, boxes=(((dim[0] // 2, dim[1] // 4), dim),))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("p",))
+    plan = make_plan(src, dst)
+    method = _resolve_method("auto", mesh, "p")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1,) + dim, jnp.float32)
+    x = jax.device_put(x, NamedSharding(mesh, P("p", None, None)))
+
+    def make_fn(n):
+        def chained(v):
+            def body(c, _):
+                return _execute(plan, c, mesh, "p", method) + 1e-6, ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(c)
+        jitted = jax.jit(chained)
+        return lambda: jitted(x)
+
+    dt = time_chained(make_fn, n1=20, n2=100)
+    nbytes = 2 * x.size * 4
+    return nbytes / dt / 1e9, dt
+
+
 def bench_shift(shape=(128, 64, 64, 128)):
     """Toroidal tensor shift (halo-exchange analog on one chip): the
     reference's tests/dist.cpp:303-330 shift benchmark; under a sharded
@@ -315,6 +357,14 @@ def main():
         "value": round(sh_gb, 1),
         "unit": "GB/s",
         "vs_baseline": round(sh_gb / (chip_bandwidth(dev) / 1e9), 4),
+    }))
+    re_gb, re_dt = bench_redistribute()
+    print(json.dumps({
+        "metric": "explicit_redistribution_bandwidth",
+        "value": round(re_gb, 1),
+        "unit": "GB/s",
+        # done-criterion: within 2x of the plain shift/copy bandwidth
+        "vs_baseline": round(2.0 * re_gb / max(sh_gb, 1e-9), 4),
     }))
 
 

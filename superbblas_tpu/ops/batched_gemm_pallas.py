@@ -16,12 +16,16 @@ matmul carries S sites of work instead of one:
 The diagonal writes are aligned (IP, JP multiples of the 8-sublane tile)
 and overlap with the previous step's matmul through Mosaic's pipeline.
 
-Ceiling: these shapes are HBM-bound — per site the useful flops are
-2*I*J*N against (I*J + J*N + I*N) * 4 bytes of traffic, an arithmetic
-intensity of ~2.5 flops/byte at I=J=12, N=32, i.e. a ~2 TF/s roofline on
-v5e no matter the MXU fill.  The win over the XLA path is closing the
-fill gap UP TO that roofline, not past it (measurements in
-experiments/coarse_batched_gemm.py).
+MEASURED OUTCOME (v5e, round 2 — full numbers and two checked-in probe
+kernels in experiments/coarse_batched_gemm.py): the current XLA
+toolchain's batched dot_general beats every packing variant (e.g. 2.78
+vs 0.74 TF/s at the K=288 coarse shape; 1.01 vs 0.30 at 12x12/N=128) —
+the per-step grid overhead and the VPU diagonal-block stores, which
+serialize with the matmul consuming them, outweigh the fill win, and
+arithmetic-intensity ceilings cap the small shapes at 2-4.4 TF/s
+regardless.  ``batched_small_gemm`` therefore routes to XLA on TPU by
+default; the kernel stays behind ``force_pallas=True`` for
+re-evaluation on future toolchains.
 """
 
 from __future__ import annotations
@@ -91,18 +95,21 @@ def _batched_small_gemm_padded(b, x, interpret=False):
 
 
 def batched_small_gemm(b: jax.Array, x: jax.Array,
-                       interpret: bool = False) -> jax.Array:
-    """y[v] = b[v] @ x[v] for a batch of small matrices (f32).
+                       interpret: bool = False,
+                       force_pallas: bool = False) -> jax.Array:
+    """y[v] = b[v] @ x[v] for a batch of small matrices (f32) — the
+    xgemm_batch_strided analog (blas.h:662-812).
 
-    ``b``: [V, I, J]; ``x``: [V, J, N]; returns [V, I, N].  Lowers to the
-    block-diagonal-packed Pallas kernel on TPU (xgemm_batch_strided
-    analog, blas.h:662-812); falls back to XLA's batched dot_general on
-    CPU or ineligible shapes.
+    ``b``: [V, I, J]; ``x``: [V, J, N]; returns [V, I, N].  Routes to
+    XLA's batched dot_general (the measured-fastest backend on current
+    TPU toolchains — see the module docstring); ``force_pallas=True`` /
+    ``interpret=True`` select the block-diagonal-packed Pallas kernel.
     """
     V, I, J = b.shape
     N = x.shape[-1]
     use_pallas = interpret or (
-        jax.devices()[0].platform not in ("cpu",)
+        force_pallas
+        and jax.devices()[0].platform not in ("cpu",)
         and batched_gemm_eligible(I, J, b.dtype))
     if not use_pallas:
         return jax.lax.dot_general(

@@ -231,11 +231,20 @@ class RedistributionPlan:
         # common block size: gcd of every run length in the plan
         # (the reference's common blocking, dist.h:798-866)
         B = 0
+        total_len = 0
         for i in range(n):
             for j in range(n):
                 for _, _, lens in pair_runs[i][j]:
                     B = math.gcd(B, int(np.gcd.reduce(lens)))
+                    total_len += int(lens.sum())
         self.block = B = max(B, 1)
+        if B == 1 and total_len > (64 << 20):
+            import warnings
+
+            warnings.warn(
+                "redistribution plan degenerated to element-granularity "
+                f"runs ({total_len} elements): box starts/sizes share no "
+                "common divisor along the last axis", RuntimeWarning)
 
         counts = np.zeros((n, n), dtype=np.int64)
         pair_src = [[None] * n for _ in range(n)]
@@ -274,6 +283,14 @@ class RedistributionPlan:
         self.send_starts = send
         self.recv_starts = recv
         self._dense = None   # lazy [n, n, pair_cap] layout for method=dense
+
+        # aligned-rows fast path: when every run start is a multiple of B
+        # (grid-to-grid repartitions where boxes share divisors), the
+        # local blocks reshape to [vol/B, B] and runs become whole ROWS —
+        # jnp.take / row scatter, ~10x the windowed gather on v5e
+        self.aligned = bool(
+            B > 1 and self.src_vol % B == 0 and self.dst_vol % B == 0
+            and (send % B == 0).all() and (recv % B == 0).all())
 
         self._validate()
 
@@ -329,6 +346,41 @@ class RedistributionPlan:
             self._dense = (pack, unpack)
         return self._dense
 
+    def recv_inverse(self, dense: bool) -> np.ndarray:
+        """Copy-mode aligned-unpack inverse map [n, dst_vol/B]:
+        inv[j, dst_row] = recv-buffer slot holding that row (out-of-range
+        for uncovered rows -> zero fill in the take).  ``dense`` selects
+        the [n * pair_cap] dense-exchange slot layout; otherwise the
+        ragged source-order concatenation."""
+        attr = "_inv_dense" if dense else "_inv_ragged"
+        cached = getattr(self, attr, None)
+        if cached is not None:
+            return cached
+        B = self.block
+        rows_n = self.dst_vol // B
+        oob = np.int32(2 ** 30)
+        inv = np.full((self.n, rows_n), oob, dtype=np.int32)
+        _, recv_off = self._pair_slices()
+        s = self.pair_cap
+        for j in range(self.n):
+            tot = int(self.counts[:, j].sum())
+            if tot == 0:
+                continue
+            rows = self.recv_starts[j, :tot] // B
+            if dense:
+                slots = np.empty(tot, np.int32)
+                for i in range(self.n):
+                    c = int(self.counts[i, j])
+                    if c == 0:
+                        continue
+                    o = int(recv_off[i, j])
+                    slots[o:o + c] = i * s + np.arange(c, dtype=np.int32)
+            else:
+                slots = np.arange(tot, dtype=np.int32)
+            inv[j, rows] = slots
+        setattr(self, attr, inv)
+        return inv
+
     def pair_elem_indices(self, i: int, j: int):
         """Element-granularity (src_idx, dst_idx) for one rank pair —
         the expansion of the run descriptors, for tests/verification."""
@@ -349,6 +401,10 @@ class RedistributionPlan:
              self.recv_starts.nbytes)
         if self._dense is not None:
             b += self._dense[0].nbytes + self._dense[1].nbytes
+        for attr in ("_inv_dense", "_inv_ragged"):
+            cached = getattr(self, attr, None)
+            if cached is not None:
+                b += cached.nbytes
         return b
 
 
@@ -410,20 +466,59 @@ like SB_CACHEGB, cache.h:238-265)."""
 
 def _gather_runs(flat: jnp.ndarray, starts: jnp.ndarray, B: int):
     """[cap] run starts -> [cap, B] run payloads (flat is pre-padded with
-    B zeros so padding starts gather zeros)."""
-    return flat[starts[:, None] + jnp.arange(B, dtype=starts.dtype)]
+    B zeros so padding starts gather zeros).
+
+    Expressed as a vmapped dynamic_slice so XLA emits ONE gather with
+    slice_sizes=(B,) — whole contiguous runs per index.  The naive
+    ``flat[starts[:, None] + arange(B)]`` form lowers to element-wise
+    gathering and measured ~0.5 GB/s on v5e (650x below the copy
+    bandwidth); this form reaches ~7.6 GB/s, and B-aligned plans take
+    the row-take path in the executor instead (~78 GB/s)."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(flat, (s,), (B,)))(starts)
+
+
+def _gather_rows(loc: jnp.ndarray, starts: jnp.ndarray, B: int,
+                 src_vol: int):
+    """Aligned fast path: runs are whole rows of the [vol/B, B] view;
+    one jnp.take (row-DMA gather).  Padding starts (== src_vol) are
+    out-of-bounds rows and fill with zeros — no copy to append a pad
+    row."""
+    return jnp.take(loc.reshape(-1, B), starts // B, axis=0,
+                    mode="fill", fill_value=0)
+
+
+def _scatter_rows(vals: jnp.ndarray, starts: jnp.ndarray, dst_vol: int,
+                  B: int, copy_add: str, dtype):
+    out = jnp.zeros((dst_vol // B + 1, B), dtype)
+    rows = starts // B
+    if copy_add == "copy":
+        out = out.at[rows].set(vals.astype(dtype), mode="drop")
+    else:
+        out = out.at[rows].add(vals.astype(dtype), mode="drop")
+    return out[:dst_vol // B].reshape(-1)
+
+
+def _take_rows_inverse(vals: jnp.ndarray, inv: jnp.ndarray, dtype):
+    """Copy-mode aligned unpack as ONE take: inv[dst_row] = recv slot
+    (out-of-range for uncovered rows -> zero fill).  Skips the
+    zero-buffer + scatter pass of :func:`_scatter_rows`."""
+    return jnp.take(vals.astype(dtype), inv, axis=0,
+                    mode="fill", fill_value=0).reshape(-1)
 
 
 def _scatter_runs(vals: jnp.ndarray, starts: jnp.ndarray, dst_vol: int,
                   B: int, copy_add: str, dtype):
     """[cap, B] payloads -> flat [dst_vol] block; padding starts
-    (== dst_vol) land in a throwaway pad zone."""
+    (== dst_vol) land in a throwaway pad zone.  Windowed scatter
+    (update_window_dims) for the same reason as :func:`_gather_runs`."""
     out = jnp.zeros((dst_vol + B,), dtype)
-    idx = starts[:, None] + jnp.arange(B, dtype=starts.dtype)
-    if copy_add == "copy":
-        out = out.at[idx].set(vals, mode="drop")
-    else:
-        out = out.at[idx].add(vals, mode="drop")
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    fn = jax.lax.scatter if copy_add == "copy" else jax.lax.scatter_add
+    out = fn(out, starts[:, None].astype(jnp.int32), vals.astype(dtype),
+             dnums, mode=jax.lax.GatherScatterMode.CLIP)
     return out[:dst_vol]
 
 
@@ -499,22 +594,37 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
     spec_data = PartitionSpec(axis, *([None] * len(plan.src_shape)))
     spec_out = PartitionSpec(axis, *([None] * len(plan.dst_shape)))
     spec_row = PartitionSpec(axis, None)
+    aligned = plan.aligned
+
+    def gath(loc, starts):
+        if aligned:
+            return _gather_rows(loc, starts, B, plan.src_vol)
+        flat = jnp.concatenate(
+            [loc.reshape(-1), jnp.zeros((B,), loc.dtype)])
+        return _gather_runs(flat, starts, B)
+
+    def scat(recv, starts, dtype):
+        if aligned:
+            return _scatter_rows(recv, starts, dst_vol, B, copy_add, dtype)
+        return _scatter_runs(recv, starts, dst_vol, B, copy_add, dtype)
+
+    inv_take = aligned and copy_add == "copy"
 
     if method == "ragged":
         cap_recv = plan.recv_starts.shape[1]
         exchange = (_exchange_ragged if _supports_ragged(mesh)
                     else _exchange_ragged_emulated)
         send_starts = jnp.asarray(plan.send_starts)    # [n, cap_send]
-        recv_starts = jnp.asarray(plan.recv_starts)    # [n, cap_recv]
+        recv_starts = jnp.asarray(
+            plan.recv_inverse(dense=False) if inv_take
+            else plan.recv_starts)
 
         def body(local, sstarts, rstarts):
             def run(loc):
-                flat = jnp.concatenate(
-                    [loc.reshape(-1), jnp.zeros((B,), loc.dtype)])
-                send = _gather_runs(flat, sstarts[0], B)
+                send = gath(loc, sstarts[0])
                 recv = exchange(send, counts, cap_recv, axis)
-                out = _scatter_runs(recv, rstarts[0], dst_vol, B,
-                                    copy_add, loc.dtype)
+                out = (_take_rows_inverse(recv, rstarts[0], loc.dtype)
+                       if inv_take else scat(recv, rstarts[0], loc.dtype))
                 return out.reshape((1,) + dst_shape)
             if cplx.is_carray(local):
                 return cplx.cmap(lambda a: run(a[0]), local)
@@ -530,19 +640,25 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
     pack_np, unpack_np = plan.dense_idx()
     s = plan.pair_cap
     pack_idx = jnp.asarray(pack_np)        # [n, n, s]
-    unpack_idx = jnp.asarray(unpack_np)
     spec_idx = PartitionSpec(axis, None, None)
-    spec_idx_dst = PartitionSpec(None, axis, None)
+
+    if inv_take:
+        unpack_idx = jnp.asarray(plan.recv_inverse(dense=True))  # [n, rows]
+        spec_unpack = PartitionSpec(axis, None)
+    else:
+        unpack_idx = jnp.asarray(unpack_np)        # [n, n, s]
+        spec_unpack = PartitionSpec(None, axis, None)
 
     def body(local, pidx, uidx):
-        # local [1, *src_shape]; pidx [1, n, s]; uidx [n, 1, s]
+        # local [1, *src_shape]; pidx [1, n, s];
+        # uidx [n, 1, s] (scatter) or [1, rows] (inverse take)
         def run(loc):
-            flat = jnp.concatenate(
-                [loc.reshape(-1), jnp.zeros((B,), loc.dtype)])
-            send = _gather_runs(flat, pidx[0].reshape(-1), B)  # [n*s, B]
+            send = gath(loc, pidx[0].reshape(-1))          # [n*s, B]
             recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-            out = _scatter_runs(recv, uidx[:, 0, :].reshape(-1), dst_vol,
-                                B, copy_add, loc.dtype)
+            if inv_take:
+                out = _take_rows_inverse(recv, uidx[0], loc.dtype)
+            else:
+                out = scat(recv, uidx[:, 0, :].reshape(-1), loc.dtype)
             return out.reshape((1,) + dst_shape)
         if cplx.is_carray(local):
             return cplx.cmap(lambda a: run(a[0]), local)
@@ -550,13 +666,18 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(spec_data, spec_idx, spec_idx_dst),
+        in_specs=(spec_data, spec_idx, spec_unpack),
         out_specs=spec_out, check_vma=False,
     )(local_stack, pack_idx, unpack_idx)
 
 
-def _resolve_method(method: str, mesh: Mesh) -> str:
+def _resolve_method(method: str, mesh: Mesh, axis: str = "p") -> str:
     if method == "auto":
+        # a single-rank mesh has no exchange at all: the ragged HLO is
+        # pointless there (and crashed the TPU worker when fed a
+        # 1-device axis) — the dense path's all_to_all is a local copy
+        if axis in mesh.shape and mesh.shape[axis] <= 1:
+            return "dense"
         return "ragged" if _supports_ragged(mesh) else "dense"
     if method not in ("ragged", "dense"):
         raise ValueError(f"unknown redistribution method {method!r}")
@@ -583,7 +704,7 @@ def redistribute_explicit(
     send_receive dist.h:1426-1573.
     """
     plan = make_plan(src, dst, copy_add)
-    method = _resolve_method(method, mesh)
+    method = _resolve_method(method, mesh, axis)
     if flags.get_debug_level() >= 2:
         _debug_replay(plan, src, dst, mesh, axis, method)
     return _execute(plan, local_stack, mesh, axis, method)

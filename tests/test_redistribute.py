@@ -333,6 +333,7 @@ def test_debug_ladder_catches_corrupt_plan(mesh1d, monkeypatch):
         plan.recv_starts[0, 0], plan.recv_starts[0, 1] = (
             plan.recv_starts[0, 1], plan.recv_starts[0, 0] + 1)
         plan._dense = None
+        plan._inv_dense = plan._inv_ragged = None   # derived layouts too
         with pytest.raises(RuntimeError, match="debug replay mismatch"):
             R.redistribute_explicit(stack, src, dst, mesh1d)
     finally:
