@@ -523,6 +523,10 @@ def soa_to_aos(y: cplx.CArray, nlat: int, ki: int, bi: int) -> cplx.CArray:
 # the production path unconditionally; this variant is kept as a
 # correct, tested alternative for future re-evaluation on newer
 # toolchains.
+#
+# RE-TESTED round 2 (newer toolchain, same harness): v1 7.33, v2 6.35,
+# v3 4.86 TF/s — v2 nearly doubled (Mosaic scheduling improved) but v1
+# still wins; keep re-testing per toolchain update.
 
 
 def _kernel_xin(kron_re, kron_im,      # SMEM [ndir, KI, KD]

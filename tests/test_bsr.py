@@ -313,6 +313,66 @@ def test_sharded_lattice_matvec():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
 
 
+def test_sharded_gather_mode_matvec():
+    """Gather-mode (irregular) operators on SHARDED operands: the
+    jj_flat gather crosses shard boundaries, which GSPMD resolves with
+    collectives — the distributed path for the general create_bsr regime
+    (bsr.h:2189-2192 does this through MPI; here it is compiled).  Both
+    plain and kron-factored gather operators must match the host oracle
+    exactly."""
+    dim = (8,)
+    maxnnz = 3
+    rng = np.random.default_rng(21)
+    ii = np.array([2, 3, 1, 3, 2, 3, 1, 2])
+    jj = np.zeros((8, maxnnz, 1), dtype=np.int64)
+    for s in range(8):
+        # irregular, deliberately non-local neighbors (cross-shard)
+        nbrs = rng.choice(8, size=int(ii[s]), replace=False)
+        jj[s, :len(nbrs), 0] = nbrs
+        jj[s, len(nbrs):, 0] = s
+    vals = rng.standard_normal((8, maxnnz, 2, 2))
+    op = B.create_bsr("Xs", (8, 2), "Xc", (8, 2), (1, 2), (1, 2),
+                      ii, jj, jnp.asarray(vals))
+    assert op.mode == "gather"
+
+    mesh = par.make_mesh({"X": 8})
+    x = rng.standard_normal((8, 2, 3))
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P("X", None, None)))
+    op_sh = B.BSROperator(**{
+        **op.__dict__,
+        "blocks": jax.device_put(
+            op.blocks, NamedSharding(mesh, P("X", None, None, None)))})
+    got = jax.jit(lambda xx: B.bsr_krylov(1.0, op_sh, xx, "Xcn"))(xd)
+    want = np.zeros((8, 2, 3))
+    for s in range(8):
+        for k in range(int(ii[s])):
+            want[s] += vals[s, k] @ x[int(jj[s, k, 0])]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+    # kron-factored irregular operator, sharded the same way
+    KI = KD = 2
+    color = rng.standard_normal((8, maxnnz, 2, 2))
+    spin = rng.standard_normal((maxnnz, KI, KD))
+    kop = B.create_kron_bsr("XSc", (8, KI, 2), "XSc", (8, KD, 2),
+                            (1, 1, 2), (1, 1, 2), (1, KI, 1), (1, KD, 1),
+                            ii, jj, jnp.asarray(color), jnp.asarray(spin))
+    xk = rng.standard_normal((8, KD, 2, 3))
+    xkd = jax.device_put(jnp.asarray(xk),
+                         NamedSharding(mesh, P("X", None, None, None)))
+    kop_sh = B.BSROperator(**{
+        **kop.__dict__,
+        "blocks": jax.device_put(
+            kop.blocks, NamedSharding(mesh, P("X", None, None, None)))})
+    gotk = jax.jit(lambda xx: B.bsr_krylov(1.0, kop_sh, xx, "XScn"))(xkd)
+    wantk = np.zeros((8, KI, 2, 3))
+    for s in range(8):
+        for k in range(int(ii[s])):
+            wantk[s] += np.einsum("ab,cd,bdn->acn", spin[k], color[s, k],
+                                  xk[int(jj[s, k, 0])])
+    np.testing.assert_allclose(np.asarray(gotk), wantk, rtol=1e-12)
+
+
 def test_preferred_layout():
     op, _, _ = make_stencil_op((4, 4), 2, 2)
     ox, oy = B.bsr_get_preferred_layout(op)
