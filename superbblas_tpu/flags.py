@@ -11,6 +11,12 @@ TPU-native analog of the reference's ``runtime_features.h:15-158`` (env vars
   * ``SBT_TRACK_MEM``  (0/1): enable live-array accounting.
   * ``SBT_PALLAS``     (0/1, default 1): allow Pallas kernels on TPU; 0
     forces the pure-XLA fallbacks everywhere.
+  * ``SBT_REDIST_METHOD`` ("auto"|"ragged"|"dense", default "auto"): the
+    explicit-redistribution exchange flavor — the analog of the
+    reference's ``SB_USE_ALLTOALL``/``SB_MPI_NONBLOCK`` collective
+    selection (runtime_features.h:101-125): "ragged" =
+    lax.ragged_all_to_all per-peer variable counts, "dense" = tiled
+    all_to_all, "auto" picks per backend.
   * ``SBT_CACHEGB`` (float, default 1.0): byte budget in GiB for the
     library-level metadata caches (redistribution plans) — the analog of
     the reference's ``SB_CACHEGB`` (cache.h:238-265).  Exceeding the
@@ -79,6 +85,16 @@ def _env_float(name: str, default: float) -> float:
     except ValueError:
         raise ValueError(
             f"environment variable {name} must be a float, got {v!r}")
+
+
+def get_redist_method() -> str:
+    """Explicit-redistribution exchange flavor (SB_USE_ALLTOALL analog,
+    runtime_features.h:101-125)."""
+    v = _env_str("SBT_REDIST_METHOD", "auto").lower()
+    if v not in ("auto", "ragged", "dense"):
+        raise ValueError(
+            f"SBT_REDIST_METHOD must be auto|ragged|dense, got {v!r}")
+    return v
 
 
 def get_cache_gb() -> float:

@@ -415,25 +415,30 @@ def build_hierarchy(op: BSROperator, levels: int = 2, block=(2, 2, 2, 2),
     return out
 
 
-def vcycle_preconditioner(hierarchy, omegas=None):
+def vcycle_preconditioner(hierarchy, omegas=None,
+                          cheby_degree: Optional[int] = None,
+                          cheby_theta: float = 30.0):
     """Recursive V-cycle over a :func:`build_hierarchy` result: at each
     level a coarse correction (recursing until the dense bottom solve)
-    plus one Richardson post-smooth.  Reference analog: the multilevel
-    preconditioner loops consumers drive over bsr_krylov handles
-    (bsr.h:2353)."""
+    plus a post-smooth — one Richardson step by default, or a degree-d
+    :func:`chebyshev_smoother` per level with ``cheby_degree`` set (the
+    configuration that pays on near-critical operators).  Reference
+    analog: the multilevel preconditioner loops consumers drive over
+    bsr_krylov handles (bsr.h:2353)."""
     from ..solvers import power_iteration
 
+    lams = []
+    rng = np.random.default_rng(0)
+    for (op_l, P_l, _, _, normal_l) in hierarchy:
+        shape = tuple(op_l.dim_d) + _blk_shape(op_l)
+        x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                         jnp.asarray(rng.standard_normal(shape)))
+        lam, _ = power_iteration(
+            lambda u, o=op_l, nl=normal_l: _level_apply(o, u, nl),
+            x0, iters=15)
+        lams.append(float(lam))
     if omegas is None:
-        omegas = []
-        rng = np.random.default_rng(0)
-        for (op_l, P_l, _, _, normal_l) in hierarchy:
-            shape = tuple(op_l.dim_d) + _blk_shape(op_l)
-            x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
-                             jnp.asarray(rng.standard_normal(shape)))
-            lam, _ = power_iteration(
-                lambda u, o=op_l, nl=normal_l: _level_apply(o, u, nl),
-                x0, iters=15)
-            omegas.append(float(0.8 / float(lam)))
+        omegas = [0.8 / l for l in lams]
 
     def make(level):
         op_l, P_l, A_c_l, blk_l, normal_l = hierarchy[level]
@@ -449,6 +454,13 @@ def vcycle_preconditioner(hierarchy, omegas=None):
         inner = make(level + 1)
         blk = _blk_shape(op_l)
         n_blk = len(blk)
+        A_l = lambda u: _level_apply(op_l, u, normal_l)
+        if cheby_degree is not None:
+            S = chebyshev_smoother(A_l, lams[level] * 1.05,
+                                   degree=cheby_degree, theta=cheby_theta)
+        else:
+            w = omegas[level]
+            S = lambda r: cplx.CArray(w * r.re, w * r.im)
 
         def prec(r):
             rc = _restrict(P_l, r, blk_l, n_blk=n_blk)
@@ -457,10 +469,10 @@ def vcycle_preconditioner(hierarchy, omegas=None):
             # is applied DIRECTLY there, not through normal equations)
             c = inner(rc)
             x = _prolong(P_l, c, blk_l, sc=blk)
-            ax = _level_apply(op_l, x, normal_l)
-            w = omegas[level]
-            return cplx.CArray(x.re + w * (r.re - ax.re),
-                               x.im + w * (r.im - ax.im))
+            res = r
+            ax = A_l(x)
+            s = S(cplx.CArray(res.re - ax.re, res.im - ax.im))
+            return cplx.CArray(x.re + s.re, x.im + s.im)
         return prec
 
     return make(0)

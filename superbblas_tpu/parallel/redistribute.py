@@ -673,6 +673,10 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
 def _resolve_method(method: str, mesh: Mesh, axis: str = "p") -> str:
     if method == "auto":
+        env = flags.get_redist_method()
+        if env != "auto":
+            method = env
+    if method == "auto":
         # a single-rank mesh has no exchange at all: the ragged HLO is
         # pointless there (and crashed the TPU worker when fed a
         # 1-device axis) — the dense path's all_to_all is a local copy

@@ -306,6 +306,32 @@ def test_plan_cache_byte_budget(monkeypatch):
         R.make_plan.cache_clear()
 
 
+def test_redist_method_env_flag(mesh1d, monkeypatch):
+    """SBT_REDIST_METHOD forces the exchange flavor (SB_USE_ALLTOALL
+    analog): both values produce identical results through the public
+    entry."""
+    from superbblas_tpu import flags
+    from superbblas_tpu.parallel.redistribute import _resolve_method
+
+    dim = (8, 8)
+    src = par.basic_partitioning("xy", dim, (4, 2))
+    dst = par.basic_partitioning("xy", dim, (2, 4))
+    x = np.random.default_rng(5).standard_normal(dim)
+    stack = put(R.pack_global(x, src), mesh1d)
+    outs = {}
+    for m in ("ragged", "dense"):
+        monkeypatch.setenv("SBT_REDIST_METHOD", m)
+        flags.clear_cache()
+        try:
+            assert _resolve_method("auto", mesh1d) == m
+            outs[m] = np.asarray(R.redistribute_explicit(
+                stack, src, dst, mesh1d))
+        finally:
+            flags.clear_cache()
+    np.testing.assert_array_equal(outs["ragged"], outs["dense"])
+    np.testing.assert_array_equal(R.unpack_global(outs["dense"], dst), x)
+
+
 def test_debug_ladder_catches_corrupt_plan(mesh1d, monkeypatch):
     """SBT_DEBUG>=2 replays every explicit redistribution with
     index-valued payloads through the REAL collective path; an
