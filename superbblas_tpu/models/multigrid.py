@@ -227,20 +227,24 @@ def chebyshev_smoother(A: Callable, lam_max: float, degree: int = 4,
     delta = 0.5 * (hi - lo)
     sigma = th / delta
 
+    # Saad Alg. 12.1 / PETSc seeding: the FIRST direction is x1 = r/theta
+    # itself; rho and the residual update stay inside the loop.  (The
+    # round-2 review caught a mis-seeded variant whose error polynomial
+    # missed the minimax bound — e.g. 0.557 vs the true 0.434 at d=4;
+    # this form hits the Chebyshev bound exactly, verified in
+    # tests/test_multigrid.py::test_chebyshev_smoother_minimax.)
     def smooth(r):
         rho = 1.0 / sigma
         x = cplx.CArray(r.re / th, r.im / th)
-        if degree == 1:
-            return x
-        res = cplx.CArray(r.re - A(x).re, r.im - A(x).im)
-        d = cplx.CArray(res.re * (rho / delta), res.im * (rho / delta))
+        d = x
         for _ in range(degree - 1):
-            x = cplx.CArray(x.re + d.re, x.im + d.im)
-            res = cplx.CArray(res.re - A(d).re, res.im - A(d).im)
             rho_new = 1.0 / (2.0 * sigma - rho)
+            ax = A(x)
+            res = cplx.CArray(r.re - ax.re, r.im - ax.im)
             d = cplx.CArray(
                 (rho * rho_new) * d.re + (2.0 * rho_new / delta) * res.re,
                 (rho * rho_new) * d.im + (2.0 * rho_new / delta) * res.im)
+            x = cplx.CArray(x.re + d.re, x.im + d.im)
             rho = rho_new
         return x
 
@@ -427,16 +431,21 @@ def vcycle_preconditioner(hierarchy, omegas=None,
     bsr_krylov handles (bsr.h:2353)."""
     from ..solvers import power_iteration
 
-    lams = []
-    rng = np.random.default_rng(0)
-    for (op_l, P_l, _, _, normal_l) in hierarchy:
-        shape = tuple(op_l.dim_d) + _blk_shape(op_l)
-        x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
-                         jnp.asarray(rng.standard_normal(shape)))
-        lam, _ = power_iteration(
-            lambda u, o=op_l, nl=normal_l: _level_apply(o, u, nl),
-            x0, iters=15)
-        lams.append(float(lam))
+    # spectral estimation only when something below needs it: explicit
+    # omegas with Richardson smoothing skip the (fine-matvec-heavy)
+    # power iterations entirely
+    lams = None
+    if omegas is None or cheby_degree is not None:
+        lams = []
+        rng = np.random.default_rng(0)
+        for (op_l, P_l, _, _, normal_l) in hierarchy:
+            shape = tuple(op_l.dim_d) + _blk_shape(op_l)
+            x0 = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                             jnp.asarray(rng.standard_normal(shape)))
+            lam, _ = power_iteration(
+                lambda u, o=op_l, nl=normal_l: _level_apply(o, u, nl),
+                x0, iters=15)
+            lams.append(float(lam))
     if omegas is None:
         omegas = [0.8 / l for l in lams]
 

@@ -46,8 +46,10 @@ def _pad_to(v: int, m: int) -> int:
 
 
 def batched_gemm_eligible(I: int, J: int, dtype) -> bool:
-    """The packing pays when blocks are small (several fit a 128-tile)
-    and aligned padding does not dominate."""
+    """Whether the block-diag Pallas kernel supports this block shape:
+    small blocks (several fit a 128-tile) with bounded aligned padding.
+    Reference analog: the per-backend dispatch guards of
+    xgemm_batch_strided (blas.h:662-680)."""
     if dtype not in (jnp.float32, np.float32, jnp.dtype("float32")):
         return False
     return _pad_to(I, 8) <= 64 and _pad_to(J, 8) <= 64

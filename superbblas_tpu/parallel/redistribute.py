@@ -414,44 +414,58 @@ class _PlanCache:
     Budget: SBT_CACHEGB gigabytes (flags.py), plus an entry-count cap."""
 
     def __init__(self, maxsize: int = 256):
+        import threading
+
         self.maxsize = maxsize
         self._od: "OrderedDict[tuple, RedistributionPlan]" = OrderedDict()
         self.hits = 0
         self.misses = 0
+        # the lru_cache this replaced was thread-safe; keep that contract
+        # (async savers / threaded users share the cache)
+        self._lock = threading.Lock()
 
     def __call__(self, src: Partition, dst: Partition,
                  copy_add: str = "copy") -> RedistributionPlan:
         key = (src, dst, copy_add)
-        plan = self._od.get(key)
-        if plan is not None:
-            self.hits += 1
-            self._od.move_to_end(key)
-            return plan
-        self.misses += 1
-        plan = RedistributionPlan(src, dst, copy_add)
-        self._od[key] = plan
-        budget = int(flags.get_cache_gb() * (1 << 30))
-        while len(self._od) > 1 and (
-                len(self._od) > self.maxsize or self.bytes_in_use > budget):
-            self._od.popitem(last=False)
+        with self._lock:
+            plan = self._od.get(key)
+            if plan is not None:
+                self.hits += 1
+                self._od.move_to_end(key)
+                return plan
+            self.misses += 1
+        plan = RedistributionPlan(src, dst, copy_add)  # build unlocked
+        with self._lock:
+            self._od[key] = plan
+            budget = int(flags.get_cache_gb() * (1 << 30))
+            while len(self._od) > 1 and (
+                    len(self._od) > self.maxsize
+                    or self._bytes_locked() > budget):
+                self._od.popitem(last=False)
         return plan
+
+    def _bytes_locked(self) -> int:
+        return sum(p.nbytes for p in self._od.values())
 
     @property
     def bytes_in_use(self) -> int:
-        return sum(p.nbytes for p in self._od.values())
+        with self._lock:
+            return self._bytes_locked()
 
     def cache_clear(self) -> None:
-        self._od.clear()
-        self.hits = 0
-        self.misses = 0
+        with self._lock:
+            self._od.clear()
+            self.hits = 0
+            self.misses = 0
 
     def cache_info(self):
         from collections import namedtuple
 
         Info = namedtuple("CacheInfo",
                           "hits misses maxsize currsize bytes")
-        return Info(self.hits, self.misses, self.maxsize, len(self._od),
-                    self.bytes_in_use)
+        with self._lock:
+            return Info(self.hits, self.misses, self.maxsize,
+                        len(self._od), self._bytes_locked())
 
 
 make_plan = _PlanCache()
@@ -543,11 +557,14 @@ def _exchange_ragged(send: jnp.ndarray, counts: jnp.ndarray, cap_recv: int,
 
 
 def _exchange_ragged_emulated(send: jnp.ndarray, counts: jnp.ndarray,
-                              cap_recv: int, axis: str) -> jnp.ndarray:
+                              cap_recv: int, axis: str,
+                              pair_cap: Optional[int] = None) -> jnp.ndarray:
     """Same contract as :func:`_exchange_ragged`, built on dense tiled
     all_to_all — the CPU stand-in (XLA:CPU has no ragged-all-to-all HLO)
     so the ragged plan layout and offset math are testable on the
-    virtual mesh."""
+    virtual mesh.  ``pair_cap`` bounds the per-pair slot capacity (the
+    plan's max pair run count); without it the capacity falls back to
+    cap_send, inflating the exchanged buffer ~n-fold."""
     n = counts.shape[0]
     s = send.shape[0]           # cap_send; dense slot per (peer, within)
     B = send.shape[1]
@@ -560,7 +577,7 @@ def _exchange_ragged_emulated(send: jnp.ndarray, counts: jnp.ndarray,
     peer = jnp.minimum(peer, n - 1)
     within = m - off[peer]
     valid = m < my_send.sum()
-    cap = s  # per-pair slot capacity (<= cap_send always holds)
+    cap = pair_cap if pair_cap is not None else s
     dense = jnp.zeros((n * cap, B), send.dtype)
     slot = jnp.where(valid, peer * cap + within, n * cap)
     dense = dense.at[slot].set(send, mode="drop")
@@ -612,8 +629,13 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
     if method == "ragged":
         cap_recv = plan.recv_starts.shape[1]
-        exchange = (_exchange_ragged if _supports_ragged(mesh)
-                    else _exchange_ragged_emulated)
+        if _supports_ragged(mesh):
+            exchange = _exchange_ragged
+        else:
+            import functools as _ft
+
+            exchange = _ft.partial(_exchange_ragged_emulated,
+                                   pair_cap=plan.pair_cap)
         send_starts = jnp.asarray(plan.send_starts)    # [n, cap_send]
         recv_starts = jnp.asarray(
             plan.recv_inverse(dense=False) if inv_take
@@ -708,6 +730,12 @@ def redistribute_explicit(
     send_receive dist.h:1426-1573.
     """
     plan = make_plan(src, dst, copy_add)
+    if axis not in mesh.shape or mesh.shape[axis] != plan.n:
+        raise ValueError(
+            f"redistribute_explicit: mesh axis {axis!r} must have exactly "
+            f"{plan.n} devices (one per partition rank), got "
+            f"{mesh.shape.get(axis) if hasattr(mesh.shape, 'get') else mesh.shape}"
+        )
     method = _resolve_method(method, mesh, axis)
     if flags.get_debug_level() >= 2:
         _debug_replay(plan, src, dst, mesh, axis, method)
@@ -817,11 +845,23 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
     from .mesh import partition_sharding
 
     s_dst = partition_sharding(dst, order)
-    if s_dst is not None and copy_add == "copy":
+    # the GSPMD fast path reinterprets x's existing global values; it is
+    # only equivalent to the explicit path when the source covers the
+    # lattice — a partial src leaves uncovered destinations ZERO on the
+    # explicit path (the ns_copy_test semantics) but STALE under a bare
+    # device_put
+    if (s_dst is not None and copy_add == "copy"
+            and src.has_full_support()):
         return jax.device_put(x, s_dst)
 
     # explicit fallback: stage through the stacked-local container
     if mesh is None:
+        if n > len(jax.devices()):
+            raise ValueError(
+                f"redistribute_auto: the partitions have {n} ranks but "
+                f"only {len(jax.devices())} devices are available and no "
+                "mesh was given — pass a mesh whose axis carries the "
+                "rank dimension")
         mesh = Mesh(np.asarray(jax.devices()[:n]), (axis,))
     stack = pack_global(np.asarray(jax.device_get(x)), src)
     xd = jax.device_put(

@@ -420,6 +420,22 @@ def _read_block(sto: Storage, blk: _Block) -> np.ndarray:
     return arr.astype(sto.dtype).reshape(blk.size)
 
 
+def _read_block_rows(sto: Storage, blk: _Block, r0: int,
+                     r1: int) -> np.ndarray:
+    """Read only leading-axis rows [r0, r1) of a block — the windowed
+    subrange read (storage.h:1326-1420 seeks per request, not per
+    block), so streaming loads never materialize a whole block."""
+    row_elems = volume(blk.size[1:]) if len(blk.size) > 1 else 1
+    with sto._lock:
+        f = sto._open()
+        f.seek(blk.values_offset + r0 * row_elems * sto.dtype.itemsize)
+        n = (r1 - r0) * row_elems
+        dt = (sto.dtype.newbyteorder(">") if sto.byteswap
+              else sto.dtype.newbyteorder("<"))
+        arr = np.frombuffer(f.read(n * sto.dtype.itemsize), dtype=dt)
+    return arr.astype(sto.dtype).reshape((r1 - r0,) + tuple(blk.size[1:]))
+
+
 def _write_block(sto: Storage, blk: _Block, data: np.ndarray) -> None:
     with sto._lock:
         f = sto._open()
@@ -531,7 +547,10 @@ def load_stream(sto: Storage, from0=None, size0=None,
 
     Windows are slabs of whole leading-axis rows of the request, each at
     most ``max_window_bytes``; every yielded window is fully assembled
-    (all intersecting blocks applied) and in file label order.
+    (all intersecting blocks applied) and in file label order.  Blocks
+    are read by leading-axis SUBRANGE (only the rows a window touches),
+    so a single full-tensor block never gets materialized whole — host
+    memory stays O(window) even for bigger-than-RAM files.
     """
     from0 = tuple(from0) if from0 is not None else (0,) * sto.ndim
     size0 = tuple(size0) if size0 is not None else sto.dim
@@ -542,13 +561,15 @@ def load_stream(sto: Storage, from0=None, size0=None,
         wsize = (min(rows, size0[0] - r0),) + size0[1:]
         window = np.zeros(wsize, dtype=sto.dtype)
         for blk, ifrom, isize in _block_intersections(sto, wfrom, wsize):
-            data = _read_block(sto, blk)
             req_off = tuple((f - g) % d for f, g, d in
                             zip(ifrom, wfrom, sto.dim))
             blk_off = tuple((f - g) % d for f, g, d in
                             zip(ifrom, blk.frm, sto.dim))
+            data = _read_block_rows(sto, blk, blk_off[0],
+                                    blk_off[0] + isize[0])
             sl_req = tuple(slice(o, o + s) for o, s in zip(req_off, isize))
-            sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+            sl_blk = (slice(0, isize[0]),) + tuple(
+                slice(o, o + s) for o, s in zip(blk_off[1:], isize[1:]))
             window[sl_req] = data[sl_blk]
         yield wfrom, window
 

@@ -218,6 +218,28 @@ def test_vcycle_contracts():
     assert rho < 0.9, rho
 
 
+def test_chebyshev_smoother_minimax():
+    """The smoother's error polynomial |1 - t p(t)| must hit the TRUE
+    Chebyshev minimax bound 1/cosh(d*acosh(sigma)) on the band — the
+    mis-seeded recurrence a review caught missed it (0.557 vs 0.434 at
+    d=4)."""
+    from superbblas_tpu.models.multigrid import chebyshev_smoother
+
+    lam, theta = 1.0, 30.0
+    lo, hi = lam / theta, lam
+    ts = np.linspace(lo, hi, 2001)
+    for degree in (2, 4, 6):
+        A = lambda v: cplx.CArray(jnp.asarray(ts) * v.re,
+                                  jnp.asarray(ts) * v.im)
+        S = chebyshev_smoother(A, lam, degree=degree, theta=theta)
+        x = S(cplx.CArray(jnp.ones(len(ts)), jnp.zeros(len(ts))))
+        err = np.abs(1.0 - ts * np.asarray(x.re)).max()
+        sigma = (hi + lo) / (hi - lo)
+        bound = 1.0 / np.abs(np.cosh(degree * np.arccosh(sigma)))
+        np.testing.assert_allclose(err, bound, rtol=1e-6,
+                                   err_msg=f"degree {degree}")
+
+
 def test_vcycle_chebyshev_contracts_harder():
     """The Chebyshev-smoothed V-cycle contracts a random error at least
     as fast as the Richardson one (and strictly runs the cheby path)."""

@@ -402,6 +402,39 @@ def test_unified_redistribute_entry(mesh1d):
     np.testing.assert_array_equal(np.asarray(out4), 8 * np.ones(dim))
 
 
+def test_redistribute_auto_partial_source_zeroes_uncovered(mesh1d):
+    """Review regression: a src partition that does NOT cover the
+    lattice must produce ZEROS in uncovered destinations (the explicit
+    path / ns_copy_test semantics) — the GSPMD device_put shortcut would
+    silently return the stale input values there, so it must not be
+    taken."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (4, 4)
+    src = Partition(dim=dim, boxes=(((0, 0), (2, 4)),) + tuple(
+        ((0, 0), (0, 0)) for _ in range(7)))        # top half only
+    dst = par.basic_partitioning("xy", dim, (1, 1), nprocs=8,
+                                 replicate=True)    # GSPMD-expressible
+    x = np.arange(16, dtype=np.float64).reshape(dim)
+    out = np.asarray(par.redistribute_auto(jnp.asarray(x), src, dst,
+                                           order="xy", mesh=mesh1d))
+    want = x.copy()
+    want[2:] = 0.0
+    np.testing.assert_array_equal(out, want)
+
+
+def test_redistribute_auto_rank_device_mismatch_raises():
+    """Review regression: more partition ranks than devices must raise a
+    clear error, not silently truncate the mesh (which crashed with an
+    opaque IndexError)."""
+    dim = (32, 4)
+    src = par.basic_partitioning("xy", dim, (16, 1))
+    dst = par.basic_partitioning("xy", dim, (5, 1), nprocs=16)
+    x = jnp.zeros(dim)
+    with pytest.raises(ValueError, match="16 ranks"):
+        par.redistribute_auto(x, src, dst, order="xy")
+
+
 def test_components_partition_redistribution(mesh1d):
     """Multi-component partitions (the reference's multiple devices per
     rank, dist.h:205-241; tests/bsr.cpp --components=2): each component
