@@ -218,8 +218,8 @@ def chebyshev_smoother(A: Callable, lam_max: float, degree: int = 4,
     it stay SPD for pcg — unlike a single Richardson step, it damps the
     WHOLE upper band per application, which is what unlocks multigrid on
     near-critical operators (measured on the 4^4 mass=-1.8 demo:
-    Richardson V(1,1) pcg ~1.4x over plain CG; Chebyshev d=4 ~5x, d=6
-    ~7.6x iteration reduction — experiments/mg_chebyshev.py).  Reference
+    Richardson V(1,1) pcg ~1.4x over plain CG; Chebyshev d=4 ~6.3x, d=6
+    ~8.1x iteration reduction — experiments/mg_chebyshev.py).  Reference
     analog: the polynomial smoothers Chroma-class multigrid stacks run
     over bsr_krylov handles (bsr.h:2353)."""
     lo, hi = lam_max / theta, lam_max
