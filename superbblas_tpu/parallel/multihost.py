@@ -82,8 +82,23 @@ def make_multihost_mesh(
         dcn[names.index(dcn_axis)] = nproc
         for i, nm in enumerate(names):
             per_host[i] = axis_sizes[nm] // dcn[i]
-        devices = mesh_utils.create_hybrid_device_mesh(
-            per_host, dcn, devices=jax.devices())
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                per_host, dcn, devices=jax.devices())
+        except ValueError:
+            # no slice topology (CPU multi-process, or a single-slice
+            # pod): order devices process-major so the dcn axis's
+            # leading factor crosses processes — the same placement the
+            # hybrid mesh would produce
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            dcn_pos = names.index(dcn_axis)
+            inner = axis_sizes[dcn_axis] // nproc
+            others = [axis_sizes[nm] for i, nm in enumerate(names)
+                      if i != dcn_pos]
+            arr = np.array(devs).reshape((nproc, inner) + tuple(others))
+            arr = arr.reshape((nproc * inner,) + tuple(others))
+            devices = np.moveaxis(arr, 0, dcn_pos)
     else:
         devices = mesh_utils.create_device_mesh(shape, devices=jax.devices())
     return Mesh(devices, axis_names=tuple(names))

@@ -128,6 +128,47 @@ def test_distributed_contraction(mesh, dist0, dist1):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10)
 
 
+def test_distributed_contraction_randomized_sweep(mesh):
+    """Randomized distributed-einsum sweep in the spirit of
+    tests/contract.cpp's full matrix (distribution pairs x distributed
+    axes incl. the CONTRACTED one x conj x alpha/beta): every case
+    checks against the host oracle."""
+    from superbblas_tpu.utils.testing import numpy_contraction_reference
+
+    rng = np.random.default_rng(42)
+    dims = {"t": 8, "a": 4, "b": 6, "c": 4}
+    specs = {
+        "t": P("t", None, None),
+        "mid": P(None, "x", None),
+        "repl": P(),
+    }
+    for case in range(10):
+        conj0 = bool(rng.integers(0, 2))
+        conj1 = bool(rng.integers(0, 2))
+        alpha = complex(rng.standard_normal(), rng.standard_normal())
+        beta = [0.0, complex(rng.standard_normal(),
+                             rng.standard_normal())][int(rng.integers(0, 2))]
+        k0, k1 = rng.choice(list(specs), size=2)
+        x0 = rand(tuple(dims[c] for c in "tab"), np.complex128,
+                  seed=100 + case)
+        x1 = rand(tuple(dims[c] for c in "tac"), np.complex128,
+                  seed=200 + case)
+        r = rand(tuple(dims[c] for c in "tbc"), np.complex128,
+                 seed=300 + case)
+        x0d = jax.device_put(jnp.asarray(x0), NamedSharding(mesh, specs[k0]))
+        x1d = jax.device_put(jnp.asarray(x1), NamedSharding(mesh, specs[k1]))
+        rd = jax.device_put(jnp.asarray(r),
+                            NamedSharding(mesh, P("t", None, None)))
+        got = par.contraction(alpha, x0d, "tab", conj0, x1d, "tac", conj1,
+                              beta, rd, "tbc")
+        want = numpy_contraction_reference(alpha, x0, "tab", conj0,
+                                           x1, "tac", conj1, beta, r, "tbc")
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-10,
+            err_msg=f"case {case}: {k0}/{k1} conj=({conj0},{conj1}) "
+                    f"beta={beta}")
+
+
 def test_redistribute(mesh):
     x = rand((8, 8), seed=8)
     xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x", None)))

@@ -1,0 +1,95 @@
+"""TRUE multi-process validation of the multi-host path.
+
+The reference tests multi-node by oversubscribing MPI ranks on one
+machine (tests/Makefile:78-84).  The analog here: two OS processes, each
+with 4 virtual CPU devices, joined through jax.distributed — a real
+cross-process runtime, not the single-process virtual mesh.  Exercises
+initialize_distributed, make_multihost_mesh (dcn_axis placement without
+slice topology), a global reduction, a cross-process ppermute (the halo
+primitive), and the blocked-run explicit redistribution over the global
+8-rank mesh, all against host oracles.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = r'''
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, os.getcwd())   # launched with cwd = repo root
+from superbblas_tpu.parallel import (initialize_distributed,
+                                     make_multihost_mesh)
+initialize_distributed(coordinator_address=f"localhost:{port}",
+                       num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+import numpy as np
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+n = nproc * 4
+mesh = make_multihost_mesh({"x": n}, dcn_axis="x")
+
+# 1. global reduction across processes
+x = jnp.arange(n * 8, dtype=jnp.float64)
+xs = jax.device_put(x.reshape(n, 8), NamedSharding(mesh, P("x", None)))
+assert float(jax.jit(jnp.sum)(xs)) == float(np.arange(n * 8).sum())
+
+# 2. cross-process ppermute (halo primitive)
+rolled = shard_map(
+    lambda a: jax.lax.ppermute(a, "x", [(i, (i + 1) % n) for i in range(n)]),
+    mesh=mesh, in_specs=P("x", None), out_specs=P("x", None),
+    check_vma=False)(xs)
+jax.block_until_ready(rolled)
+
+# 3. blocked-run explicit redistribution over the global mesh
+from superbblas_tpu import parallel as par
+from superbblas_tpu.parallel import redistribute as R
+dim = (16, 12)
+src = par.basic_partitioning("xy", dim, (n, 1))
+dst = par.basic_partitioning("xy", dim, (2, 4))
+gx = np.arange(np.prod(dim), dtype=np.float64).reshape(dim)
+stack = jax.device_put(jnp.asarray(R.pack_global(gx, src)),
+                       NamedSharding(mesh, P("x", None, None)))
+out = R.redistribute_explicit(stack, src, dst, mesh, axis="x")
+got = R.unpack_global(
+    np.asarray(jax.device_put(
+        out, NamedSharding(mesh, P(None, None, None)))), dst)
+assert np.array_equal(got, gx), "cross-process redistribution mismatch"
+print(f"proc {pid}: MULTIPROCESS_OK", flush=True)
+'''
+
+
+def test_two_process_distributed(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    # find a free port
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = str(s.getsockname()[1])
+    s.close()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "MULTIPROCESS_OK" in out, (
+            f"proc {pid} failed:\n{out[-3000:]}")
