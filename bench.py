@@ -131,8 +131,10 @@ def bench_contraction():
     return flops / dt / 1e9, dt
 
 
-def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
-    """Wilson matvec in the SoA/Pallas hot path (ops/stencil_pallas.py)."""
+def bench_bsr(lat=(8, 8, 16, 128), ncols=8, storage=None):
+    """Wilson matvec in the SoA/Pallas hot path (ops/stencil_pallas.py).
+    ``storage=jnp.bfloat16`` benches the bf16-stored speed mode (10.4 vs
+    7.1 TF/s f32 measured on v5e, round 2)."""
     import jax
     import jax.numpy as jnp
 
@@ -140,12 +142,14 @@ def bench_bsr(lat=(8, 8, 16, 128), ncols=8):
     from superbblas_tpu.models import apply_wilson, wilson_operator
 
     op = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex64,
-                         layout="soa")
+                         layout="soa", storage_dtype=storage)
     k = jax.random.PRNGKey(1)
     shape = (ncols, 12) + lat
+    xdt = storage if storage is not None else jnp.float32
     x = cplx.CArray(
-        jax.random.normal(k, shape, jnp.float32),
-        jax.random.normal(jax.random.fold_in(k, 9), shape, jnp.float32),
+        jax.random.normal(k, shape, jnp.float32).astype(xdt),
+        jax.random.normal(jax.random.fold_in(k, 9), shape,
+                          jnp.float32).astype(xdt),
     )
 
     def make_fn(n):
@@ -342,6 +346,17 @@ def main():
             "unit": unit,
             "vs_baseline": round(r, 4),
         }))
+    import jax.numpy as jnp
+
+    b16_gf, b16_gb, _ = bench_bsr(storage=jnp.bfloat16)
+    print(json.dumps({
+        "metric": "bsr_wilson_matvec_bf16_gflops",
+        "value": round(b16_gf, 1),
+        "unit": "GFLOP/s",
+        # the bf16 speed mode should BEAT the same-run f32 band
+        "vs_baseline": round(
+            b16_gf / max(results["bsr_wilson_matvec_gflops"][0], 1e-9), 4),
+    }))
     eo_gf, eo_dt = bench_eo_packed()
     bsr_gf = results["bsr_wilson_matvec_gflops"][0]
     print(json.dumps({

@@ -27,12 +27,13 @@ mirroring the flop saving of the reference's kron path.
 Complex arithmetic is split (re, im) throughout: 4 real multiplies per
 complex multiply on the VPU.
 
-Mixed precision: operands may be stored bf16 (HBM capacity: 2x bigger
-lattices); loads are converted and all arithmetic accumulates in f32.
-Measured on v5e the bf16 path is ~25% SLOWER than f32 (conversion ops
-dominate; native bf16 arithmetic is blocked by Mosaic's 32-bit-only
-vector rotate), so it is a capacity option, not a speed one, on the
-current toolchain.
+Mixed precision: operands may be stored bf16 (2x bigger lattices in
+HBM); loads are converted and all arithmetic accumulates in f32.
+Round-1 toolchains made the bf16 path ~25% SLOWER (conversion ops
+dominated); RE-MEASURED round 2 the conversions got cheap and the
+halved traffic wins: 10.4 TF/s bf16 vs 7.1 f32 (Wilson 8x8x16x128 x 8
+rhs on v5e) — bf16 storage is now the SPEED mode too.  Native bf16
+arithmetic remains blocked by Mosaic's 32-bit-only vector rotate.
 """
 
 from __future__ import annotations

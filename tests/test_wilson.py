@@ -184,6 +184,32 @@ def test_soa_cg_step_runs():
     assert float(s2[3]) < float(state[3])
 
 
+def test_wilson_storage_dtype_bf16():
+    """storage_dtype=bf16 stores the links bf16; the matvec accumulates
+    in f32 and matches the f32 operator to bf16 rounding (the speed mode
+    measured 1.47x on v5e round 2)."""
+    from superbblas_tpu.models import apply_wilson
+
+    lat = (4, 4, 8, 128)
+    op32 = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex64,
+                           layout="soa")
+    op16 = wilson_operator(lat, mass=0.1, key=0, dtype=jnp.complex64,
+                           layout="soa", storage_dtype=jnp.bfloat16)
+    assert op16.blocks.re.dtype == jnp.bfloat16
+    rng = np.random.default_rng(0)
+    shape = (2, 12) + lat
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(shape), jnp.float32),
+                    jnp.asarray(rng.standard_normal(shape), jnp.float32))
+    x16 = cplx.CArray(x.re.astype(jnp.bfloat16), x.im.astype(jnp.bfloat16))
+    y32 = apply_wilson(op32, x)
+    y16 = apply_wilson(op16, x16)
+    num = float(jnp.sqrt(jnp.sum(
+        (y16.re.astype(jnp.float32) - y32.re) ** 2
+        + (y16.im.astype(jnp.float32) - y32.im) ** 2)))
+    den = float(jnp.sqrt(jnp.sum(y32.re ** 2 + y32.im ** 2)))
+    assert num / den < 0.05, num / den   # ~bf16 rounding of operands
+
+
 def test_bsr_krylov_accepts_soa_op():
     """The labeled bsr_krylov API converts layouts transparently."""
     from superbblas_tpu.bsr import bsr_krylov
