@@ -11,6 +11,7 @@ Ialltoallv.
 from . import aot, bsr, context, cplx, dense, flags, labels, models, native, parallel, solvers, storage, utils
 from .bsr import (
     BSROperator,
+    bsr_cast_storage,
     bsr_from_stencil,
     bsr_get_preferred_layout,
     bsr_krylov,
@@ -48,6 +49,7 @@ __all__ = [
     "parallel",
     "utils",
     "BSROperator",
+    "bsr_cast_storage",
     "bsr_from_stencil",
     "bsr_get_preferred_layout",
     "bsr_krylov",

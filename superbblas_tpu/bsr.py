@@ -71,9 +71,22 @@ __all__ = [
     "create_bsr",
     "create_kron_bsr",
     "bsr_from_stencil",
+    "bsr_cast_storage",
     "bsr_krylov",
     "bsr_get_preferred_layout",
 ]
+
+
+def bsr_cast_storage(op: "BSROperator", dtype) -> "BSROperator":
+    """Re-store an operator's blocks in ``dtype`` (bf16 = the speed AND
+    capacity mode: kernels convert loads and accumulate in f32; measured
+    1.43x on the v5e Wilson matvec, round 2).  Kron factors stay in
+    their original precision — they are compile-time constants on the
+    Pallas path.  Reference analog: the per-precision operator handles
+    of create_bsr (bsr.h:2287, template_types.h:13-83)."""
+    blocks = (cplx.cmap(lambda a: a.astype(dtype), op.blocks)
+              if cplx.is_carray(op.blocks) else op.blocks.astype(dtype))
+    return BSROperator(**{**op.__dict__, "blocks": blocks})
 
 
 @jax.tree_util.register_pytree_node_class

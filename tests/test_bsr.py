@@ -378,3 +378,19 @@ def test_preferred_layout():
     ox, oy = B.bsr_get_preferred_layout(op)
     assert ox.startswith("XY")
     assert "n" in ox and "n" in oy
+
+
+def test_bsr_cast_storage_bf16():
+    """bsr_cast_storage re-stores blocks bf16 for ANY operator family;
+    the matvec accumulates f32 and matches to operand rounding."""
+    dim = (4, 4)
+    op, vals, offs = make_stencil_op(dim, 2, 3, seed=30)
+    op16 = B.bsr_cast_storage(op, jnp.bfloat16)
+    assert op16.blocks.dtype == jnp.bfloat16
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal(dim + (3, 2)).astype(np.float32)
+    y32 = B.bsr_krylov(1.0, op, jnp.asarray(x), "XYsn")
+    y16 = B.bsr_krylov(1.0, op16, jnp.asarray(x, np.float32), "XYsn")
+    rel = np.abs(np.asarray(y16, np.float32) - np.asarray(y32)).max() \
+        / np.abs(np.asarray(y32)).max()
+    assert rel < 0.02, rel
