@@ -164,7 +164,9 @@ def bench_bsr(lat=(8, 8, 16, 128), ncols=8, storage=None):
     n1, n2 = (40, 240) if ncols <= 4 else (20, 120)
     dt = time_chained(make_fn, n1=n1, n2=n2)
     flops = op.flops_per_matvec(ncols, complex_dtype=True)
-    memops = op.memops_per_matvec(ncols, itemsize=8)
+    # split-complex bytes per element: 2 parts x part width
+    itemsize = 2 * jnp.dtype(xdt).itemsize
+    memops = op.memops_per_matvec(ncols, itemsize=itemsize)
     return flops / dt / 1e9, memops / dt / 1e9, dt
 
 

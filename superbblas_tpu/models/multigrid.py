@@ -453,10 +453,26 @@ def vcycle_preconditioner(hierarchy, omegas=None,
         op_l, P_l, A_c_l, blk_l, normal_l = hierarchy[level]
         if level + 1 >= len(hierarchy):
             # bottom: dense coarse solve (the only level that pays the
-            # Cholesky factorization)
-            return two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
-                                           omega=omegas[level],
-                                           normal=normal_l)
+            # Cholesky factorization) — the requested smoother applies
+            # HERE too (a 1-level hierarchy would otherwise silently
+            # drop cheby_degree)
+            if cheby_degree is None:
+                return two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
+                                               omega=omegas[level],
+                                               normal=normal_l)
+            base = two_grid_preconditioner(op_l, P_l, A_c_l, blk_l,
+                                           omega=0.0, normal=normal_l)
+            A_b = lambda u: _level_apply(op_l, u, normal_l)
+            S_b = chebyshev_smoother(A_b, lams[level] * 1.05,
+                                     degree=cheby_degree,
+                                     theta=cheby_theta)
+
+            def prec_bottom(r):
+                x = base(r)
+                ax = A_b(x)
+                s = S_b(cplx.CArray(r.re - ax.re, r.im - ax.im))
+                return cplx.CArray(x.re + s.re, x.im + s.im)
+            return prec_bottom
 
         # replace the dense coarse solve by the next level's cycle:
         # x = P M_{l+1}(P^H r) + smoothing

@@ -136,8 +136,9 @@ def wilson_operator(
         layout=layout,
     )
     if storage_dtype is not None:
-        op = type(op)(**{**op.__dict__, "blocks": cplx.cmap(
-            lambda a: a.astype(storage_dtype), op.blocks)})
+        from ..bsr import bsr_cast_storage
+
+        op = bsr_cast_storage(op, storage_dtype)
     return op
 
 

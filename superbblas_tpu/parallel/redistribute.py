@@ -49,6 +49,7 @@ layer (dist.h:1919-2116, 2282-2285).
 
 from __future__ import annotations
 
+import functools
 import math
 from collections import OrderedDict
 from typing import Optional, Tuple
@@ -695,15 +696,17 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
 def _resolve_method(method: str, mesh: Mesh, axis: str = "p") -> str:
     if method == "auto":
+        # a single-rank mesh has no exchange at all: the ragged HLO is
+        # pointless there (and crashed the TPU worker when fed a
+        # 1-device axis) — short-circuit BEFORE honoring the env
+        # override, so SBT_REDIST_METHOD=ragged stays safe on 1-rank
+        # axes
+        if axis in mesh.shape and mesh.shape[axis] <= 1:
+            return "dense"
         env = flags.get_redist_method()
         if env != "auto":
             method = env
     if method == "auto":
-        # a single-rank mesh has no exchange at all: the ragged HLO is
-        # pointless there (and crashed the TPU worker when fed a
-        # 1-device axis) — the dense path's all_to_all is a local copy
-        if axis in mesh.shape and mesh.shape[axis] <= 1:
-            return "dense"
         return "ragged" if _supports_ragged(mesh) else "dense"
     if method not in ("ragged", "dense"):
         raise ValueError(f"unknown redistribution method {method!r}")
@@ -801,6 +804,14 @@ def _debug_replay(plan: RedistributionPlan, src: Partition, dst: Partition,
 # unified entry: GSPMD when expressible, explicit collectives otherwise
 
 
+@functools.lru_cache(maxsize=256)
+def _full_support_cached(part: Partition) -> bool:
+    """has_full_support runs box-subtraction recursion — cache it so the
+    GSPMD fast path stays one device_put per call (Partition is frozen
+    and hashable, like the plan-cache keys)."""
+    return part.has_full_support()
+
+
 def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = None,
                  mesh: Optional[Mesh] = None, axis: str = "p",
                  copy_add: str = "copy", method: str = "auto"):
@@ -851,7 +862,7 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
     # explicit path (the ns_copy_test semantics) but STALE under a bare
     # device_put
     if (s_dst is not None and copy_add == "copy"
-            and src.has_full_support()):
+            and _full_support_cached(src)):
         return jax.device_put(x, s_dst)
 
     # explicit fallback: stage through the stacked-local container

@@ -268,6 +268,34 @@ def test_vcycle_chebyshev_contracts_harder():
         (rho_cheb, rho_rich)
 
 
+def test_vcycle_single_level_honors_cheby():
+    """Review regression: a 1-level hierarchy must still apply the
+    requested Chebyshev smoother (it was silently dropped at the bottom
+    level), contracting markedly harder than Richardson."""
+    from superbblas_tpu.models.multigrid import (
+        build_hierarchy,
+        vcycle_preconditioner,
+    )
+
+    op = wilson_operator((4, 4, 4, 4), mass=0.2, key=3,
+                         dtype=jnp.complex128)
+    h = build_hierarchy(op, levels=1, K=4, setup_iters=8)
+    rng = np.random.default_rng(7)
+    shape = (4, 4, 4, 4, 4, 3)
+    e = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+
+    def rho_of(M):
+        corr = M(_A_normal(op, e))
+        en = cplx.CArray(e.re - corr.re, e.im - corr.im)
+        return float(jnp.sqrt(jnp.sum(en.re ** 2 + en.im ** 2)
+                              / jnp.sum(e.re ** 2 + e.im ** 2)))
+
+    rho_rich = rho_of(vcycle_preconditioner(h))
+    rho_cheb = rho_of(vcycle_preconditioner(h, cheby_degree=6))
+    assert rho_cheb < 0.6 * rho_rich, (rho_cheb, rho_rich)
+
+
 def test_vcycle_on_sharded_fields():
     """The whole cycle (restrict/coarse solve/prolong/smooth) is plain
     jax ops on global arrays, so it runs unchanged on GSPMD-sharded
