@@ -139,3 +139,53 @@ def test_lanczos_breakdown_no_spurious_zero():
     al, be = solvers.lanczos(lambda v: cplx.scale(2.0, v), x0, m=10)
     lmin, lmax = solvers.ritz_extremes(al, be)
     assert abs(lmin - 2.0) < 1e-10 and abs(lmax - 2.0) < 1e-10
+
+
+def test_refined_solve_bf16_inner_reaches_f32_accuracy():
+    """The complete bf16 speed-mode story: an INNER CG running entirely
+    on the bf16-stored operator (the 1.4-1.5x kernels), wrapped in f32
+    iterative refinement, reaches the accuracy of a plain f32 solve —
+    the standard lattice-QCD production scheme (refined_solve docstring;
+    bsr.h:2353-class consumers)."""
+    import jax.numpy as jnp
+
+    from superbblas_tpu import cplx
+    from superbblas_tpu.bsr import bsr_cast_storage
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.models.wilson import (adjoint_operator,
+                                              apply_wilson)
+    from superbblas_tpu.solvers import cg, refined_solve
+
+    lat = (4, 4, 8, 128)
+    op = wilson_operator(lat, mass=0.3, key=0, dtype=jnp.complex64,
+                         layout="soa")
+    op16 = bsr_cast_storage(op, jnp.bfloat16)
+    oph = adjoint_operator(op)
+    oph16 = bsr_cast_storage(oph, jnp.bfloat16)
+
+    def A32(v):
+        return apply_wilson(oph, apply_wilson(op, v))
+
+    def A16(v):
+        v16 = cplx.CArray(v.re.astype(jnp.bfloat16),
+                          v.im.astype(jnp.bfloat16))
+        y = apply_wilson(oph16, apply_wilson(op16, v16))
+        return cplx.CArray(y.re.astype(jnp.float32),
+                           y.im.astype(jnp.float32))
+
+    rng = np.random.default_rng(3)
+    shape = (1, 12) + lat
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(shape), jnp.float32),
+                    jnp.asarray(rng.standard_normal(shape), jnp.float32))
+
+    def inner(r):
+        x, _, _ = cg(A16, r, tol=1e-2, maxiter=40)
+        return x
+
+    x_ref, rs_ref, _ = cg(A32, b, tol=1e-5, maxiter=200)
+    x_mix, rs_mix = refined_solve(A32, inner, b, cycles=4)
+    bnorm = float(jnp.sum(b.re ** 2 + b.im ** 2))
+    rel_mix = float(rs_mix) / bnorm
+    rel_ref = float(rs_ref) / bnorm
+    # the bf16-inner refined solve must land in the same residual decade
+    assert rel_mix < max(rel_ref * 10, 1e-8), (rel_mix, rel_ref)
