@@ -272,6 +272,63 @@ def test_plan_scales_to_many_ranks(nrank):
             got2[r][tuple(slice(0, s) for s in size)], x[idx])
 
 
+def test_plan_scales_4d_lattice_64_ranks():
+    """Plan build + host simulation on a REALISTIC 4D lattice at 64
+    ranks (16^3 x 32 split 4x4x2x2): exactness, blocked runs, and a
+    plan-build time guard (host-side numpy must stay sub-second)."""
+    import time
+
+    from superbblas_tpu.parallel import basic_partitioning
+
+    dim = (16, 16, 16, 32)
+    src = basic_partitioning("xyzt", dim, (4, 4, 2, 2))
+    dst = basic_partitioning("xyzt", dim, (2, 2, 4, 4))
+    t0 = time.perf_counter()
+    plan = R.RedistributionPlan(src, dst, "copy")
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, dt
+    assert plan.block >= 8, plan.block    # t-axis runs stay blocked
+    x = np.random.default_rng(0).standard_normal(dim)
+    got = _simulate_plan(plan, R.pack_global(x, src))
+    np.testing.assert_array_equal(R.unpack_global(got, dst), x)
+
+
+def test_degenerate_shapes(mesh1d):
+    """Edge shapes through the full executor: size-1 axes, 1-D lattices,
+    a destination equal to the source, and an all-empty destination."""
+    from superbblas_tpu.parallel import Partition
+
+    # size-1 axes
+    dim = (8, 1, 3)
+    src = par.basic_partitioning("xyz", dim, (8, 1, 1))
+    dst = par.basic_partitioning("xyz", dim, (1, 1, 3), nprocs=8)
+    x = np.random.default_rng(1).standard_normal(dim)
+    got = run_case(mesh1d, src, dst, x)
+    np.testing.assert_array_equal(got, x)
+
+    # identity redistribution (src == dst): pure local pass-through
+    got2 = run_case(mesh1d, src, src, x)
+    np.testing.assert_array_equal(got2, x)
+
+    # all-empty destination: a valid no-op plan
+    empty = Partition(dim=dim, boxes=tuple(
+        (((0,) * 3), ((0,) * 3)) for _ in range(8)))
+    plan = R.RedistributionPlan(src, empty, "copy")
+    assert int(plan.counts.sum()) == 0
+
+    # 1-D lattice with wrap
+    dim1 = (12,)
+    src1 = par.basic_partitioning("x", dim1, (8,))
+    dst1 = Partition(dim=dim1, boxes=tuple(
+        ((int(3 * r) % 12,), (5,)) for r in range(8)))
+    x1 = np.arange(12.0)
+    stack = put(R.pack_global(x1, src1), mesh1d)
+    out = np.asarray(R.redistribute_explicit(stack, src1, dst1, mesh1d))
+    for r, (frm, size) in enumerate(dst1.boxes):
+        want = x1[(np.arange(frm[0], frm[0] + size[0])) % 12]
+        np.testing.assert_array_equal(out[r, :size[0]], want)
+
+
 def test_plan_cache_byte_budget(monkeypatch):
     """Exceeding SBT_CACHEGB evicts least-recently-used plans and the
     cache reports its byte footprint (SB_CACHEGB analog,
