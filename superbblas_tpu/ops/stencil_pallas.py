@@ -527,7 +527,10 @@ def soa_to_aos(y: cplx.CArray, nlat: int, ki: int, bi: int) -> cplx.CArray:
 #
 # RE-TESTED round 2 (newer toolchain, same harness): v1 7.33, v2 6.35,
 # v3 4.86 TF/s — v2 nearly doubled (Mosaic scheduling improved) but v1
-# still wins; keep re-testing per toolchain update.
+# still wins; keep re-testing per toolchain update.  A forced (nc, Yc)
+# sweep found only nc=2/Yc=1 compiling (5.97 TF/s; every other point
+# remote_compile HTTP 500) — the auto-pick remains the only viable
+# config.
 
 
 def _kernel_xin(kron_re, kron_im,      # SMEM [ndir, KI, KD]
