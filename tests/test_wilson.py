@@ -227,3 +227,31 @@ def test_bsr_krylov_accepts_soa_op():
     ys = bsr_krylov(1.0, op_s, x, "xyztSCn")
     np.testing.assert_allclose(np.asarray(ys.re), np.asarray(ya.re),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_wilson_action_is_differentiable():
+    """BEYOND-REFERENCE capability: jax.grad flows through the operator
+    application, giving the gauge-force derivative d/dU Re<psi, D psi>
+    of HMC for free (the reference is not differentiable; its consumers
+    hand-code forces).  Verified against a finite difference."""
+    from superbblas_tpu.bsr import BSROperator, bsr_krylov
+
+    op = wilson_operator((4, 4, 2, 2), mass=0.2, key=1,
+                         dtype=jnp.complex128)
+    rng = np.random.default_rng(0)
+    shape = (4, 4, 2, 2, 4, 3, 1)
+    psi = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                      jnp.asarray(rng.standard_normal(shape)))
+
+    def action(blocks):
+        op2 = BSROperator(**{**op.__dict__, "blocks": blocks})
+        dpsi = bsr_krylov(1.0, op2, psi, "xyztSCn")
+        return jnp.sum(dpsi.re * psi.re + dpsi.im * psi.im)
+
+    g = jax.grad(action)(op.blocks)
+    assert bool(jnp.isfinite(g.re).all())
+    eps = 1e-6
+    idx = (1, 2, 0, 1, 3, 0, 1)
+    bp = cplx.CArray(op.blocks.re.at[idx].add(eps), op.blocks.im)
+    fd = float((action(bp) - action(op.blocks)) / eps)
+    assert abs(fd - float(g.re[idx])) < 1e-4, (fd, float(g.re[idx]))
