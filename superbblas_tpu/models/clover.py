@@ -91,12 +91,19 @@ def wilson_clover_operator(
     key=None,
     dtype=jnp.complex64,
     links: Optional[np.ndarray] = None,
+    layout: str = "aos",
 ) -> CloverOperator:
     """Build D_clover over random (or given) gauge links.
 
     The clover blocks are full spin(x)color 12x12 matrices; labels follow
     the Wilson convention — image "xyzt"+"Sc", domain "xyzt"+"SC", with
     the clover BSR treating (S, c) as one flattened dense block.
+
+    ``layout="soa"`` builds BOTH terms in the SoA hot layout: the hopping
+    runs the Pallas Wilson kernel and the clover term runs the same
+    kernel as a center-only 12x12 stencil (144 full-tile VPU FMAs per
+    site) on the SAME [n, 12, *lat] operand — apply_clover then takes
+    SoA operands.
     """
     nd = len(lat_dims)
     if nd != 4:
@@ -107,7 +114,8 @@ def wilson_clover_operator(
     if links is None:
         links = random_su3_links(rng, lat_dims)
 
-    hop = wilson_operator(lat_dims, mass=mass, r=r, dtype=dtype, links=links)
+    hop = wilson_operator(lat_dims, mass=mass, r=r, dtype=dtype,
+                          links=links, layout=layout)
 
     g = gamma_matrices()
     sigma = {}
@@ -129,13 +137,25 @@ def wilson_clover_operator(
         [(0, 0, 0, 0)],
         cplx.CArray(jnp.asarray(cblk.real.astype(part_dt)),
                     jnp.asarray(cblk.imag.astype(part_dt))),
+        layout=layout,
     )
     return CloverOperator(hop=hop, clover=clover, c_sw=c_sw)
 
 
 def apply_clover(op: CloverOperator, x):
-    """y = D_clover x; x: [*lat, NS, NC, ncols] (CArray or complex)."""
+    """y = D_clover x.
+
+    AoS operators take x [*lat, NS, NC, ncols] (CArray or complex); SoA
+    operators (layout='soa') take [ncols, 12, *lat] CArrays — both terms
+    then run in the Pallas stencil kernel on the same operand."""
     from .wilson import apply_wilson
+
+    if op.hop.mode == "stencil_soa":
+        from ..bsr import apply_stencil_soa
+
+        y_hop = apply_wilson(op.hop, x)
+        y_cl = apply_stencil_soa(op.clover, x)
+        return cplx.add(y_hop, y_cl)
 
     y_hop = apply_wilson(op.hop, x)
     # default oy = canonical image order "xyztScn" — same axes/extents as

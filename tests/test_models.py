@@ -463,3 +463,30 @@ def test_eo_packed_bf16_storage():
         + (y16.im.astype(jnp.float32) - y32.im) ** 2)))
     den = float(jnp.sqrt(jnp.sum(y32.re ** 2 + y32.im ** 2)))
     assert num / den < 0.05, num / den
+
+
+def test_clover_soa_matches_aos():
+    """layout='soa' clover: BOTH terms (Pallas Wilson kernel + the
+    center-only 12x12 clover stencil) on the same SoA operand equal the
+    AoS path."""
+    from superbblas_tpu.models import apply_clover, wilson_clover_operator
+    from superbblas_tpu.ops.stencil_pallas import aos_to_soa, soa_to_aos
+
+    lat = (2, 2, 8, 128)
+    op_a = wilson_clover_operator(lat, mass=0.3, c_sw=1.2, key=2,
+                                  dtype=jnp.complex64)
+    op_s = wilson_clover_operator(lat, mass=0.3, c_sw=1.2, key=2,
+                                  dtype=jnp.complex64, layout="soa")
+    assert op_s.hop.mode == "stencil_soa"
+    assert op_s.clover.mode == "stencil_soa"
+    rng = np.random.default_rng(0)
+    shape = lat + (4, 3, 2)
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(shape), jnp.float32),
+                    jnp.asarray(rng.standard_normal(shape), jnp.float32))
+    y_aos = apply_clover(op_a, x)
+    y_soa = apply_clover(op_s, aos_to_soa(x, 4))
+    y_back = soa_to_aos(y_soa, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(y_back.re), np.asarray(y_aos.re),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
+                               rtol=3e-4, atol=3e-4)
