@@ -365,12 +365,45 @@ class _GridHash:
 _GRID_MIN_BLOCKS = 64
 
 
+def _split_at_seams(ff, fs, seams, dim):
+    """Split the toroidal box (ff, fs) so every piece maps CONTIGUOUSLY
+    into the local frame of each origin in ``seams``.
+
+    The local coordinate (a - origin) % D is affine except where the box
+    crosses a ≡ origin (mod D); a fragment from a wrapped-box
+    intersection can cross the seam of the *other* box even though it is
+    contained in both (the wrapped-x-wrapped pitfall of the repo's
+    working notes — this instance was found by the storage fuzz: an
+    unsplit fragment placed through `(ifrom - frm) % dim` spills past
+    the request extent)."""
+    boxes = [(tuple(ff), tuple(fs))]
+    for ax in range(len(dim)):
+        out = []
+        for (f, s) in boxes:
+            cuts = {0, s[ax]}
+            for origin in seams:
+                c = (origin[ax] - f[ax]) % dim[ax]
+                if 0 < c < s[ax]:
+                    cuts.add(c)
+            cs = sorted(cuts)
+            for p0, p1 in zip(cs[:-1], cs[1:]):
+                nf = list(f)
+                nz = list(s)
+                nf[ax] = (f[ax] + p0) % dim[ax]
+                nz[ax] = p1 - p0
+                out.append((tuple(nf), tuple(nz)))
+        boxes = out
+    return boxes
+
+
 def _block_intersections(sto: Storage, frm, size):
     """All (block, ifrom, isize) overlaps of the toroidal request box with
     the declared blocks — the reference's GridHash spatial query
     (storage.h:552-684).  Large manifests go through the coarse-grid
     index; the exact intersections use the native C++ batch sweep when
-    available, else the Python box algebra."""
+    available, else the Python box algebra.  Every yielded fragment is
+    seam-split so it maps contiguously into BOTH the request's and the
+    block's local frames (see :func:`_split_at_seams`)."""
     if not sto.blocks:
         return
     from . import native
@@ -392,14 +425,20 @@ def _block_intersections(sto: Storage, frm, size):
             isize = tuple(int(v) for v in r[2 + nd:2 + 2 * nd])
             if volume(isize) == 0:
                 continue
-            yield (blocks[int(r[1])],
-                   tuple(int(v) for v in r[2:2 + nd]), isize)
+            blk = blocks[int(r[1])]
+            ifrom = tuple(int(v) for v in r[2:2 + nd])
+            for pf, ps in _split_at_seams(ifrom, isize,
+                                          (tuple(frm), blk.frm), sto.dim):
+                yield blk, pf, ps
         return
     for blk in blocks:
         for ifrom, isize in intersect_box(frm, size, blk.frm, blk.size,
                                           sto.dim):
             if volume(isize):
-                yield blk, ifrom, isize
+                for pf, ps in _split_at_seams(ifrom, isize,
+                                              (tuple(frm), blk.frm),
+                                              sto.dim):
+                    yield blk, pf, ps
 
 
 def _to_numpy(x) -> np.ndarray:

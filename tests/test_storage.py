@@ -317,3 +317,63 @@ def test_big_endian_file_write_roundtrip(tmp_path):
         raw = f.read()
     arr = np.frombuffer(raw[-6 * 8:], dtype=">f8").reshape(dim)
     np.testing.assert_array_equal(arr, want)
+
+
+def test_fuzz_random_blocks_save_load(tmp_path):
+    """Randomized S3T sweep (the tests/storage.cpp breadth): random
+    (possibly wrapped, overlapping) block manifests, random saves and
+    partial loads with label permutation, all mirrored against a global
+    numpy shadow array.  Saves update every intersecting block, so
+    overlapping blocks stay consistent and the shadow is exact."""
+    rng = np.random.default_rng(99)
+    for case in range(6):
+        dim = (int(rng.integers(4, 10)), int(rng.integers(4, 10)))
+        p = str(tmp_path / f"fuzz{case}.s3t")
+        sto = S.create_storage(p, "xy", dim, dtype=np.float64)
+        nblk = int(rng.integers(1, 5))
+        boxes = []
+        for _ in range(nblk):
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            z = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes.append((f, z))
+        S.append_blocks(sto, boxes)
+        covered = np.zeros(dim, dtype=bool)
+        for f, z in boxes:
+            idx = np.ix_(*[np.arange(a, a + s) % d
+                           for a, s, d in zip(f, z, dim)])
+            covered[idx] = True
+        shadow = np.zeros(dim)
+
+        for step in range(5):
+            # random save fully inside the covered set: pick a random box
+            # and clip to covered cells via per-cell writes through save()
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            z = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            idx = np.ix_(*[np.arange(a, a + s) % d
+                           for a, s, d in zip(f, z, dim)])
+            if not covered[idx].all():
+                continue                      # save() raises on uncovered
+            vals = rng.standard_normal(z)
+            S.save(1.0, vals, "xy", sto, "xy", from1=f)
+            shadow[idx] = vals
+
+            # random partial load, sometimes with a permuted output order
+            lf = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            lz = (int(rng.integers(1, dim[0] + 1)),
+                  int(rng.integers(1, dim[1] + 1)))
+            lidx = np.ix_(*[np.arange(a, a + s) % d
+                            for a, s, d in zip(lf, lz, dim)])
+            want = np.where(covered[lidx], shadow[lidx], 0.0)
+            if rng.random() < 0.5:
+                got = S.load(1.0, sto, np.zeros(lz), "xy",
+                             from0=lf, size0=lz)
+                np.testing.assert_allclose(got, want, atol=1e-13,
+                                           err_msg=f"case {case} step {step}")
+            else:
+                got = S.load(1.0, sto, np.zeros(lz[::-1]), "yx",
+                             from0=lf, size0=lz)
+                np.testing.assert_allclose(got, want.T, atol=1e-13,
+                                           err_msg=f"case {case} step {step}T")
+        S.close_storage(sto)
