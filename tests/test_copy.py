@@ -161,3 +161,42 @@ def test_complex_scale():
     alpha = 1.5 - 0.5j
     got = local_copy(alpha, jnp.asarray(x), "ab", jnp.asarray(y), "ab")
     np.testing.assert_allclose(np.asarray(got), alpha * x, rtol=1e-12)
+
+
+def test_fuzz_wrapped_box_copies():
+    """Randomized local_copy sweep vs the per-site toroidal oracle:
+    wrapped source AND destination boxes, label permutations, copy/add,
+    alpha variants — the breadth that caught the storage wrapped-seam
+    bug (apply the same pressure to the local engine)."""
+    from superbblas_tpu.utils.testing import numpy_copy_reference
+
+    rng = np.random.default_rng(77)
+    for case in range(25):
+        nd = int(rng.integers(1, 4))
+        labels = "abc"[:nd]
+        dim0 = tuple(int(rng.integers(2, 7)) for _ in range(nd))
+        perm = list(rng.permutation(nd))
+        o0 = labels
+        o1 = "".join(labels[i] for i in perm)
+        dim1 = tuple(int(rng.integers(2, 7)) for _ in range(nd))
+        # size must fit BOTH frames per matching label
+        size0 = tuple(
+            int(rng.integers(1, min(dim0[i],
+                                    dim1[o1.index(o0[i])]) + 1))
+            for i in range(nd))
+        from0 = tuple(int(rng.integers(0, d)) for d in dim0)
+        from1 = tuple(int(rng.integers(0, d)) for d in dim1)
+        copy_add = ["copy", "add"][int(rng.integers(0, 2))]
+        alpha = [1.0, 2.5, -1.0][int(rng.integers(0, 3))]
+        x = rng.standard_normal(dim0)
+        y = rng.standard_normal(dim1)
+        got = np.asarray(local_copy(alpha, jnp.asarray(x), o0,
+                                    jnp.asarray(y), o1, from0=from0,
+                                    size0=size0, from1=from1,
+                                    copy_add=copy_add))
+        want = numpy_copy_reference(alpha, x, o0, y, o1, from0, size0,
+                                    from1, copy_add)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"case {case}: {o0}->{o1} "
+                                           f"{from0}{size0}->{from1} "
+                                           f"{copy_add}")
