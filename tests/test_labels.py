@@ -79,3 +79,34 @@ def test_check_isomorphic():
 def test_translate_coor():
     out = L.translate_coor((3, 4), "xy", (1, 1), "yx", (0, 0))
     assert out == (3, 2)
+
+
+def test_fuzz_intersect_box_bruteforce():
+    """intersect_box against a per-site oracle: random N-D toroidal boxes
+    where BOTH may wrap — the returned fragments must cover exactly the
+    set intersection, disjointly."""
+    import itertools as it
+
+    rng = np.random.default_rng(2024)
+
+    def covered(frm, size, dim):
+        return {tuple((f + o) % d for f, o, d in zip(frm, off, dim))
+                for off in it.product(*[range(s) for s in size])}
+
+    for case in range(60):
+        nd = int(rng.integers(1, 4))
+        dim = tuple(int(rng.integers(1, 8)) for _ in range(nd))
+        fa = tuple(int(rng.integers(0, d)) for d in dim)
+        sa = tuple(int(rng.integers(0, d + 1)) for d in dim)
+        fb = tuple(int(rng.integers(0, d)) for d in dim)
+        sb = tuple(int(rng.integers(0, d + 1)) for d in dim)
+        frags = list(L.intersect_box(fa, sa, fb, sb, dim))
+        got = set()
+        total = 0
+        for ff, fs in frags:
+            pts = covered(ff, fs, dim)
+            total += len(pts)
+            got |= pts
+        want = covered(fa, sa, dim) & covered(fb, sb, dim)
+        assert got == want, (case, dim, (fa, sa), (fb, sb))
+        assert total == len(got), ("overlapping fragments", case, dim)
