@@ -135,3 +135,43 @@ def test_soa_sharded_matches_unsharded(mesh):
                                    power=2)
     np.testing.assert_allclose(np.asarray(y2.re), np.asarray(ref2.re),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_soa_sharded_bf16_storage():
+    """bf16-stored operators run through the SHARDED SoA path (halo
+    ppermute on bf16 payloads + the kernel's f32 accumulation) and match
+    the f32 sharded result to operand rounding."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from superbblas_tpu import cplx
+    from superbblas_tpu.bsr import bsr_cast_storage
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.parallel import apply_stencil_soa_sharded
+
+    lat = (8, 4, 8, 128)
+    op = wilson_operator(lat, mass=0.2, key=0, dtype=jnp.complex64,
+                         layout="soa")
+    op16 = bsr_cast_storage(op, jnp.bfloat16)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("d",))
+    spec = P(None, None, "d", None, None, None)
+    rng = np.random.default_rng(0)
+    shape = (2, 12) + lat
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(shape), jnp.float32),
+                    jnp.asarray(rng.standard_normal(shape), jnp.float32))
+    x16 = cplx.CArray(x.re.astype(jnp.bfloat16), x.im.astype(jnp.bfloat16))
+
+    def put(o, v):
+        o2 = type(o)(**{**o.__dict__, "blocks": jax.device_put(
+            o.blocks, NamedSharding(mesh, spec))})
+        return o2, jax.device_put(v, NamedSharding(mesh, spec))
+
+    op_sh, x_sh = put(op, x)
+    op16_sh, x16_sh = put(op16, x16)
+    y32 = apply_stencil_soa_sharded(op_sh, x_sh, mesh, {"x": "d"})
+    y16 = apply_stencil_soa_sharded(op16_sh, x16_sh, mesh, {"x": "d"})
+    num = float(jnp.sqrt(jnp.sum(
+        (y16.re.astype(jnp.float32) - y32.re) ** 2
+        + (y16.im.astype(jnp.float32) - y32.im) ** 2)))
+    den = float(jnp.sqrt(jnp.sum(y32.re ** 2 + y32.im ** 2)))
+    assert num / den < 0.05, num / den
