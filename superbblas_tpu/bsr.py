@@ -277,6 +277,7 @@ def create_bsr(
     jj: np.ndarray,
     values: jax.Array,
     block_image_fast: bool = False,
+    pattern_merge: bool = True,
 ) -> BSROperator:
     """Reference-parity constructor (create_bsr, bsr.h:2287-2320).
 
@@ -290,8 +291,18 @@ def create_bsr(
     * ``values``: [*lat_i, max_nnz, BI, BD] blocks ([..., BD, BI] when
       ``block_image_fast``, mirroring the reference's blockImFast flag).
 
-    Detects the uniform-stencil structure (same offsets for every row)
-    and lowers to the roll-based fast path; otherwise keeps a gather plan.
+    Structure detection, fastest first:
+
+    1. uniform stencil (same offsets in the same slots for every row) —
+       the roll-based MXU path;
+    2. NEAR-uniform (``pattern_merge``): when the union of per-row
+       offset patterns is small (<= 2x max_nnz), rows are scatter-merged
+       into a union-pattern stencil with ZERO blocks where a row lacks
+       an offset (duplicate offsets within a row sum) — open-boundary /
+       defect operators run at full stencil speed instead of the gather
+       path.  Disabled for the kron constructor, whose spin factors pair
+       with slot INDICES (bsr.h:398-451), which merging would break;
+    3. gather plan (truly irregular structure).
     """
     check_order(oim)
     check_order(odm)
@@ -312,15 +323,18 @@ def create_bsr(
 
     uniform = bool((ii == ii.reshape(-1)[0]).all()) and int(ii.reshape(-1)[0]) == max_nnz
     offsets = None
-    if uniform and dim_i == dim_d:
-        # offsets[k] = (jj[site, k] - site) mod dim, constant across sites?
+    rel = None
+    if dim_i == dim_d:
         site_coords = np.stack(
             np.meshgrid(*[np.arange(d) for d in dim_i], indexing="ij"), axis=-1
         )  # [*lat, nlat]
         rel = (jj - site_coords[..., None, :]) % np.asarray(dim_i)
-        first = rel.reshape(-1, max_nnz, nlat)[0]
-        if (rel == first).all():
-            offsets = [tuple(int(v) for v in first[k]) for k in range(max_nnz)]
+        if uniform:
+            # offsets[k] = (jj[site, k] - site) mod dim, same every row?
+            first = rel.reshape(-1, max_nnz, nlat)[0]
+            if (rel == first).all():
+                offsets = [tuple(int(v) for v in first[k])
+                           for k in range(max_nnz)]
 
     common = dict(
         oim=oim, odm=odm, lat_i=lat_i, lat_d=lat_d, blk_i=blk_i, blk_d=blk_d,
@@ -329,6 +343,40 @@ def create_bsr(
     if offsets is not None:
         return BSROperator(mode="stencil", blocks=values,
                            offsets=tuple(offsets), **common)
+
+    if pattern_merge and rel is not None:
+        # NEAR-uniform: scatter-merge rows into the union offset pattern
+        # (vectorized: offsets are encoded to scalar keys; np.unique
+        # gives the union, searchsorted the per-entry slot)
+        voli = volume(dim_i)
+        rel_f = rel.reshape(voli, max_nnz, nlat).astype(np.int64)
+        valid = (np.arange(max_nnz)[None, :]
+                 < ii.reshape(-1)[:, None])          # [voli, max_nnz]
+        strides = np.ones(nlat, dtype=np.int64)
+        for a in range(nlat - 2, -1, -1):
+            strides[a] = strides[a + 1] * dim_i[a + 1]
+        keys = (rel_f * strides).sum(-1)             # [voli, max_nnz]
+        uniq = np.unique(keys[valid]) if valid.any() else np.zeros(0, np.int64)
+        P = len(uniq)
+        if 0 < P <= 2 * max_nnz:
+            pattern = [tuple(int(v) for v in np.unravel_index(k, dim_i))
+                       for k in uniq]
+            slot = np.searchsorted(uniq, keys)       # [voli, max_nnz]
+            slot[~valid] = P                         # pad bucket
+            BIv, BDv = volume(bi), volume(bd)
+            flat_idx = jnp.asarray(
+                (np.arange(voli)[:, None] * (P + 1) + slot).reshape(-1))
+
+            def merge(v):
+                big = jnp.zeros((voli * (P + 1), BIv, BDv), v.dtype)
+                big = big.at[flat_idx].add(v.reshape(-1, BIv, BDv))
+                return big.reshape(voli, P + 1, BIv, BDv)[:, :P].reshape(
+                    dim_i + (P, BIv, BDv))
+
+            merged = (cplx.cmap(merge, values) if cplx.is_carray(values)
+                      else merge(values))
+            return BSROperator(mode="stencil", blocks=merged,
+                               offsets=tuple(pattern), **common)
 
     # gather fallback: flatten domain lattice coordinates to flat indices
     strides = np.ones(nlat, dtype=np.int64)
@@ -375,7 +423,10 @@ def create_kron_bsr(
     ``kron_im``/``kron_dm``: per-label kron-block extents (1 elsewhere).
     ``kron_values``: [ndir, KI, KD] ([ndir, KD, KI] if block_image_fast).
     """
-    # build the non-kron part first (block labels exclude kron labels)
+    # build the non-kron part first (block labels exclude kron labels);
+    # pattern merging is OFF: the spin factors pair with slot indices
+    # (kron[k] applies to each row's k-th neighbor, bsr.h:398-451), a
+    # correspondence union-merging would destroy
     base = create_bsr(
         "".join(c for c, k in zip(oim, kron_im) if k == 1),
         [d for d, k in zip(dim_im, kron_im) if k == 1],
@@ -383,7 +434,7 @@ def create_kron_bsr(
         [d for d, k in zip(dim_dm, kron_dm) if k == 1],
         [b for b, k in zip(block_im, kron_im) if k == 1],
         [b for b, k in zip(block_dm, kron_dm) if k == 1],
-        ii, jj, values, block_image_fast,
+        ii, jj, values, block_image_fast, pattern_merge=False,
     )
     kron_i = "".join(c for c, k in zip(oim, kron_im) if k > 1)
     kron_d = "".join(c for c, k in zip(odm, kron_dm) if k > 1)

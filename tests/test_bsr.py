@@ -125,8 +125,11 @@ def test_create_bsr_detects_stencil():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
 
 
-def test_create_bsr_gather_fallback():
-    """Irregular neighbor lists (per-row varying) use the gather path."""
+def test_create_bsr_near_uniform_merges_to_stencil():
+    """Irregular neighbor lists whose offset UNION is small are
+    scatter-merged onto the fast stencil path (zero blocks where a row
+    lacks an offset); pattern_merge=False forces the gather plan — both
+    match the per-site oracle exactly."""
     dim = (4,)
     maxnnz = 2
     ii = np.array([2, 1, 2, 1])
@@ -137,14 +140,68 @@ def test_create_bsr_gather_fallback():
     jj[3, :, 0] = [3, 0]      # padded
     rng = np.random.default_rng(8)
     vals = rng.standard_normal((4, maxnnz, 2, 2))
-    op = B.create_bsr("Xs", (4, 2), "Xc", (4, 2),
-                      (1, 2), (1, 2), ii, jj, jnp.asarray(vals))
-    assert op.mode == "gather"
     x = rng.standard_normal((4, 2, 3))
-    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "Xcn")
     want = np.zeros((4, 2, 3))
     for s in range(4):
         for k in range(int(ii[s])):
+            want[s] += vals[s, k] @ x[jj[s, k, 0]]
+
+    op = B.create_bsr("Xs", (4, 2), "Xc", (4, 2),
+                      (1, 2), (1, 2), ii, jj, jnp.asarray(vals))
+    assert op.mode == "stencil"          # union {0, +1} merges
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "Xcn")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+    opg = B.create_bsr("Xs", (4, 2), "Xc", (4, 2),
+                       (1, 2), (1, 2), ii, jj, jnp.asarray(vals),
+                       pattern_merge=False)
+    assert opg.mode == "gather"
+    gotg = B.bsr_krylov(1.0, opg, jnp.asarray(x), "Xcn")
+    np.testing.assert_allclose(np.asarray(gotg), want, rtol=1e-12)
+
+
+def test_create_bsr_duplicate_offsets_sum():
+    """Two entries of one row pointing at the SAME neighbor accumulate
+    into one stencil block (the scatter-add merge semantics)."""
+    dim = (3,)
+    ii = np.array([2, 1, 1])
+    jj = np.zeros((3, 2, 1), dtype=np.int64)
+    jj[0, :, 0] = [1, 1]      # duplicate neighbor
+    jj[1, 0, 0] = 2
+    jj[2, 0, 0] = 0
+    rng = np.random.default_rng(14)
+    vals = rng.standard_normal((3, 2, 2, 2))
+    op = B.create_bsr("Xs", (3, 2), "Xc", (3, 2), (1, 2), (1, 2),
+                      ii, jj, jnp.asarray(vals))
+    assert op.mode == "stencil"
+    x = rng.standard_normal((3, 2, 2))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "Xcn")
+    want = np.zeros((3, 2, 2))
+    for s in range(3):
+        for k in range(int(ii[s])):
+            want[s] += vals[s, k] @ x[jj[s, k, 0]]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_create_bsr_truly_irregular_stays_gather():
+    """When the offset union exceeds 2x max_nnz, the merge would blow up
+    storage/compute — the gather plan is kept."""
+    dim = (8,)
+    ii = np.full(8, 2)
+    jj = np.zeros((8, 2, 1), dtype=np.int64)
+    for s in range(8):
+        jj[s, 0, 0] = s
+        jj[s, 1, 0] = (s * 3 + 1) % 8     # offsets vary per row: big union
+    rng = np.random.default_rng(15)
+    vals = rng.standard_normal((8, 2, 2, 2))
+    op = B.create_bsr("Xs", (8, 2), "Xc", (8, 2), (1, 2), (1, 2),
+                      ii, jj, jnp.asarray(vals))
+    assert op.mode == "gather"
+    x = rng.standard_normal((8, 2, 2))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "Xcn")
+    want = np.zeros((8, 2, 2))
+    for s in range(8):
+        for k in range(2):
             want[s] += vals[s, k] @ x[jj[s, k, 0]]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
 
@@ -228,7 +285,7 @@ def test_kron_bsr_nonuniform_structure():
         (5, maxnnz, KI * CI, KD * CD))
     plain = B.create_bsr("Xz", (5, KI * CI), "Xz", (5, KD * CD),
                          (1, KI * CI), (1, KD * CD), ii, jj,
-                         jnp.asarray(mats))
+                         jnp.asarray(mats), pattern_merge=False)
     assert plain.mode == "gather"
     want2 = B.bsr_krylov(1.0, plain, jnp.asarray(
         x.reshape((5, KD * CD, 4))), "Xzn")
@@ -332,7 +389,7 @@ def test_sharded_gather_mode_matvec():
         jj[s, len(nbrs):, 0] = s
     vals = rng.standard_normal((8, maxnnz, 2, 2))
     op = B.create_bsr("Xs", (8, 2), "Xc", (8, 2), (1, 2), (1, 2),
-                      ii, jj, jnp.asarray(vals))
+                      ii, jj, jnp.asarray(vals), pattern_merge=False)
     assert op.mode == "gather"
 
     mesh = par.make_mesh({"X": 8})
@@ -394,3 +451,39 @@ def test_bsr_cast_storage_bf16():
     rel = np.abs(np.asarray(y16, np.float32) - np.asarray(y32)).max() \
         / np.abs(np.asarray(y32)).max()
     assert rel < 0.02, rel
+
+
+def test_open_boundary_wilson_runs_stencil_path():
+    """The practical near-uniform case: an open-boundary (non-toroidal
+    in t) Wilson-like operator — boundary rows lose an offset but the
+    union stays the full stencil, so the operator runs the roll-based
+    MXU path with zeroed boundary blocks instead of the gather plan."""
+    dim = (4, 6)
+    full = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+    maxnnz = len(full)
+    sites = list(itertools.product(range(dim[0]), range(dim[1])))
+    ii = np.zeros(dim, dtype=np.int64)
+    jj = np.zeros(dim + (maxnnz, 2), dtype=np.int64)
+    rng = np.random.default_rng(20)
+    vals = np.zeros(dim + (maxnnz, 2, 2))
+    for s in sites:
+        k = 0
+        for off in full:
+            t = (s[0] + off[0], s[1] + off[1])
+            if not (0 <= t[1] < dim[1]):
+                continue                   # OPEN boundary in axis 1
+            jj[s][k] = [t[0] % dim[0], t[1]]
+            vals[s][k] = rng.standard_normal((2, 2))
+            k += 1
+        ii[s] = k
+    op = B.create_bsr("XYs", dim + (2,), "XYc", dim + (2,),
+                      (1, 1, 2), (1, 1, 2), ii,
+                      jj.reshape(dim + (maxnnz, 2)), jnp.asarray(vals))
+    assert op.mode == "stencil" and len(op.offsets) == maxnnz
+    x = rng.standard_normal(dim + (2, 3))
+    got = B.bsr_krylov(1.0, op, jnp.asarray(x), "XYcn")
+    want = np.zeros(dim + (2, 3))
+    for s in sites:
+        for k in range(int(ii[s])):
+            want[s] += vals[s][k] @ x[tuple(jj[s][k])]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
