@@ -324,7 +324,9 @@ def create_bsr(
     uniform = bool((ii == ii.reshape(-1)[0]).all()) and int(ii.reshape(-1)[0]) == max_nnz
     offsets = None
     rel = None
-    if dim_i == dim_d:
+    # rel is O(voli * max_nnz * nlat) host work — skip it when neither
+    # consumer (uniform detection / pattern merge) can use it
+    if dim_i == dim_d and (uniform or pattern_merge):
         site_coords = np.stack(
             np.meshgrid(*[np.arange(d) for d in dim_i], indexing="ij"), axis=-1
         )  # [*lat, nlat]

@@ -150,14 +150,13 @@ def apply_clover(op: CloverOperator, x):
     then run in the Pallas stencil kernel on the same operand."""
     from .wilson import apply_wilson
 
+    y_hop = apply_wilson(op.hop, x)
     if op.hop.mode == "stencil_soa":
         from ..bsr import apply_stencil_soa
 
-        y_hop = apply_wilson(op.hop, x)
         y_cl = apply_stencil_soa(op.clover, x)
         return cplx.add(y_hop, y_cl)
 
-    y_hop = apply_wilson(op.hop, x)
     # default oy = canonical image order "xyztScn" — same axes/extents as
     # the Wilson output ([*lat, NS, NC, n]), so the two add directly
     y_cl = bsr_krylov(1.0, op.clover, x, "xyztSCn")

@@ -516,10 +516,12 @@ def save(alpha, x, o0: str, sto: Storage, o1: str,
     src = _extract_box_np(arr, from0, size0)
     src = _permute_np(src, o0, o1)
 
-    covered = 0
+    # coverage must count UNIQUE request cells: overlapping blocks
+    # produce multiple fragments over the same cells, and a fragment-
+    # volume sum would mask genuinely uncovered cells (review-caught)
+    covered = np.zeros(size1, dtype=bool)
     with sto._lock:   # atomic read-modify-write across the whole save
       for blk, ifrom, isize in _block_intersections(sto, from1, size1):
-        covered += volume(isize)
         data = _read_block(sto, blk)
         # offsets of the intersection inside the source box and block
         src_off = tuple((f - g) % d for f, g, d in
@@ -528,9 +530,10 @@ def save(alpha, x, o0: str, sto: Storage, o1: str,
                         zip(ifrom, blk.frm, sto.dim))
         sl_src = tuple(slice(o, o + s) for o, s in zip(src_off, isize))
         sl_blk = tuple(slice(o, o + s) for o, s in zip(blk_off, isize))
+        covered[sl_src] = True
         data[sl_blk] = src[sl_src]
         _write_block(sto, blk, data)
-    if covered < volume(size1):
+    if not covered.all():
         raise ValueError(
             "save: part of the requested region is not covered by any "
             "declared block (use append_blocks first)")

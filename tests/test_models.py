@@ -490,3 +490,27 @@ def test_clover_soa_matches_aos():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_clover_soa_kernel_interpret():
+    """The 144-channel center-only clover configuration through the REAL
+    Pallas kernel in interpreter mode (review gap: the oracle test only
+    exercised the CPU XLA reference fallback)."""
+    from superbblas_tpu.bsr import apply_stencil_soa
+    from superbblas_tpu.models import wilson_clover_operator
+    from superbblas_tpu.ops.stencil_pallas import aos_to_soa
+
+    lat = (2, 2, 8, 128)
+    op = wilson_clover_operator(lat, mass=0.3, c_sw=1.2, key=2,
+                                dtype=jnp.complex64, layout="soa")
+    rng = np.random.default_rng(1)
+    shape = lat + (4, 3, 1)
+    x = aos_to_soa(cplx.CArray(
+        jnp.asarray(rng.standard_normal(shape), jnp.float32),
+        jnp.asarray(rng.standard_normal(shape), jnp.float32)), 4)
+    want = apply_stencil_soa(op.clover, x)            # XLA reference
+    got = apply_stencil_soa(op.clover, x, interpret=True)  # Pallas kernel
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                               rtol=2e-4, atol=2e-4)

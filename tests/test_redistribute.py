@@ -286,7 +286,7 @@ def test_plan_scales_4d_lattice_64_ranks():
     t0 = time.perf_counter()
     plan = R.RedistributionPlan(src, dst, "copy")
     dt = time.perf_counter() - t0
-    assert dt < 1.0, dt
+    assert dt < 5.0, dt   # generous: guards against algorithmic regressions, not CI load
     assert plan.block >= 8, plan.block    # t-axis runs stay blocked
     x = np.random.default_rng(0).standard_normal(dim)
     got = _simulate_plan(plan, R.pack_global(x, src))

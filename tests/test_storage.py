@@ -377,3 +377,19 @@ def test_fuzz_random_blocks_save_load(tmp_path):
                 np.testing.assert_allclose(got, want.T, atol=1e-13,
                                            err_msg=f"case {case} step {step}T")
         S.close_storage(sto)
+
+
+def test_save_overlapping_blocks_uncovered_raises(tmp_path):
+    """Review regression: overlapping blocks made the coverage check
+    double-count fragment volumes — a request over uncovered cells
+    passed silently and dropped data.  Unique-cell accounting raises."""
+    p = str(tmp_path / "ov.s3t")
+    sto = S.create_storage(p, "x", (4,), dtype=np.float64)
+    S.append_blocks(sto, [((0,), (2,)), ((0,), (2,))])   # identical blocks
+    with pytest.raises(ValueError, match="not covered"):
+        S.save(1.0, np.arange(4.0), "x", sto, "x")
+    # fully-covered saves still work through the duplicated blocks
+    S.save(1.0, np.arange(2.0), "x", sto, "x", from1=(0,))
+    got = S.load(1.0, sto, np.zeros(2), "x", from0=(0,), size0=(2,))
+    np.testing.assert_array_equal(got, [0.0, 1.0])
+    S.close_storage(sto)
