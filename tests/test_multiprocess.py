@@ -48,7 +48,32 @@ rolled = shard_map(
     check_vma=False)(xs)
 jax.block_until_ready(rolled)
 
-# 3. blocked-run explicit redistribution over the global mesh
+# 3. the SoA sharded stencil hot path ACROSS processes: halo ppermute
+# crosses the process boundary on the global mesh
+from superbblas_tpu.models import wilson_operator
+from superbblas_tpu.parallel import apply_stencil_soa_sharded
+from superbblas_tpu import cplx
+mesh2 = make_multihost_mesh({"d": n}, dcn_axis="d")
+lat = (2 * n, 4, 8, 128)
+op = wilson_operator(lat, mass=0.2, key=0, dtype=jnp.complex64,
+                     layout="soa")
+spec = P(None, None, "d", None, None, None)
+rng0 = np.random.default_rng(0)
+shp = (1, 12) + lat
+xs0 = cplx.CArray(jnp.asarray(rng0.standard_normal(shp), jnp.float32),
+                  jnp.asarray(rng0.standard_normal(shp), jnp.float32))
+op_sh = type(op)(**{**op.__dict__, "blocks": jax.device_put(
+    op.blocks, NamedSharding(mesh2, spec))})
+x_sh = jax.device_put(xs0, NamedSharding(mesh2, spec))
+y = apply_stencil_soa_sharded(op_sh, x_sh, mesh2, {"x": "d"})
+from superbblas_tpu.bsr import apply_stencil_soa
+want = apply_stencil_soa(op, xs0)       # local XLA reference
+got = jax.device_put(y, NamedSharding(mesh2, P()))   # replicate to host
+err = float(jnp.max(jnp.abs(got.re - want.re))
+            + jnp.max(jnp.abs(got.im - want.im)))
+assert err < 1e-3, f"cross-process SoA stencil mismatch: {err}"
+
+# 4. blocked-run explicit redistribution over the global mesh
 from superbblas_tpu import parallel as par
 from superbblas_tpu.parallel import redistribute as R
 dim = (16, 12)
