@@ -23,6 +23,7 @@ s -> Ls-1-s) is the test oracle.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
@@ -33,7 +34,42 @@ from .. import cplx
 from ..bsr import BSROperator, bsr_from_stencil, bsr_krylov
 from .wilson import NC, NS, gamma_matrices, random_su3_links
 
-__all__ = ["domain_wall_operator", "apply_domain_wall"]
+__all__ = ["domain_wall_operator", "apply_domain_wall",
+           "DomainWallSoAOperator"]
+
+
+@dataclass(frozen=True)
+class DomainWallSoAOperator:
+    """Domain-wall operator in the SoA hot layout.
+
+    The 4D hopping part is s5-INDEPENDENT (links broadcast over s), so
+    folding Ls into the Pallas kernel's column axis runs it at the
+    Wilson-kernel rate; the s5 chiral-projector couplings are a pure
+    elementwise term (spin matrix x s-shift with mass walls).  Reference
+    analog: the same decomposition consumers drive through two
+    create_bsr handles (bsr.h:2287) — here one SoA kernel + VPU term.
+
+    ``apply_domain_wall`` takes x as a CArray [ncols, Ls, 12, X, Y, Z, T].
+    """
+
+    wilson: BSROperator          # 4D SoA stencil with mass = 1 - M5
+    Ls: int
+    m_f: float
+    Pp: cplx.CArray              # [NS, NS] chiral projectors
+    Pm: cplx.CArray
+
+    @property
+    def dim_d(self):
+        return (self.Ls,) + tuple(self.wilson.dim_d)
+
+    def flops_per_matvec(self, ncols: int, complex_dtype: bool = True) -> int:
+        f = self.wilson.flops_per_matvec(ncols * self.Ls, complex_dtype)
+        mul = 8 if complex_dtype else 2
+        from ..labels import volume as _vol
+        v4 = _vol(self.wilson.dim_d)
+        # two projector applications: [NS, NS] x [NS] per (site, color, col)
+        f += 2 * mul * v4 * self.Ls * NC * NS * NS * ncols
+        return f
 
 
 def domain_wall_operator(
@@ -45,9 +81,16 @@ def domain_wall_operator(
     key=None,
     dtype=jnp.complex128,
     links: Optional[np.ndarray] = None,
-) -> BSROperator:
+    layout: str = "aos",
+):
     """Build D_dw on the 5D lattice (s5, x, y, z, t); labels "sxyztSc" /
-    "sxyztSC" with the (S, c) pair as one dense 12x12 block."""
+    "sxyztSC" with the (S, c) pair as one dense 12x12 block.
+
+    ``layout="soa"`` returns a :class:`DomainWallSoAOperator`: the 4D
+    hopping runs the Pallas Wilson kernel with Ls folded into the column
+    axis (same SoA-eligibility rules as Wilson), the s5 term runs as an
+    elementwise projector apply.
+    """
     nd = len(lat_dims)
     if nd != 4:
         raise ValueError("domain-wall fermions extend a 4D lattice")
@@ -56,6 +99,22 @@ def domain_wall_operator(
     rng = np.random.default_rng(_seed_from_key(key))
     if links is None:
         links = random_su3_links(rng, lat_dims)
+
+    if layout == "soa":
+        from .wilson import wilson_operator
+
+        g = gamma_matrices()
+        g5 = g[0] @ g[1] @ g[2] @ g[3]
+        Pp = (np.eye(NS) + g5) / 2.0
+        Pm = (np.eye(NS) - g5) / 2.0
+        part_dt = np.float32 if dtype == jnp.complex64 else np.float64
+        w = wilson_operator(lat_dims, mass=1.0 - M5, r=r, dtype=dtype,
+                            links=links, layout="soa")
+        mk = lambda m: cplx.CArray(jnp.asarray(m.real.astype(part_dt)),
+                                   jnp.asarray(m.imag.astype(part_dt)))
+        return DomainWallSoAOperator(wilson=w, Ls=Ls, m_f=float(m_f),
+                                     Pp=mk(Pp.astype(complex)),
+                                     Pm=mk(Pm.astype(complex)))
     g = gamma_matrices()
     g5 = g[0] @ g[1] @ g[2] @ g[3]
     Pp = (np.eye(NS) + g5) / 2.0
@@ -108,7 +167,50 @@ def domain_wall_operator(
     )
 
 
-def apply_domain_wall(op: BSROperator, x):
-    """y = D_dw x; x: [Ls, *lat, NS, NC, ncols] (CArray or complex) —
-    one bsr_krylov application (bsr.h:2353) at lattice rank 5."""
+def apply_domain_wall(op, x):
+    """y = D_dw x.
+
+    AoS operators (BSROperator): x [Ls, *lat, NS, NC, ncols] (CArray or
+    complex) — one bsr_krylov application (bsr.h:2353) at lattice rank 5.
+    SoA operators (DomainWallSoAOperator): x CArray
+    [ncols, Ls, 12, X, Y, Z, T] — the hopping runs the Pallas Wilson
+    kernel with s folded into columns; the s5 projector term is
+    elementwise with mass walls at the s wrap.
+    """
+    if isinstance(op, DomainWallSoAOperator):
+        from ..bsr import apply_stencil_soa
+
+        n, Ls = x.re.shape[0], op.Ls
+        assert Ls == x.re.shape[1]
+        rest = x.re.shape[2:]
+        xf = cplx.cmap(lambda a: a.reshape((n * Ls,) + rest), x)
+        y = apply_stencil_soa(op.wilson, xf)
+        y = cplx.cmap(lambda a: a.reshape((n, Ls) + rest), y)
+
+        # s5 term: y_s += c^+_s (Pm x_{s+1}) + c^-_s (Pp x_{s-1}),
+        # c^+ = -1 except m_f at the s = Ls-1 wall (wrap to 0),
+        # c^- = -1 except m_f at the s = 0 wall (wrap to Ls-1)
+        lat = rest[1:]
+        xs = cplx.cmap(
+            lambda a: a.reshape((n, Ls, NS, NC) + lat), x)
+        xp = cplx.cmap(lambda a: jnp.roll(a, -1, axis=1), xs)   # x_{s+1}
+        xm = cplx.cmap(lambda a: jnp.roll(a, 1, axis=1), xs)    # x_{s-1}
+        s_idx = jnp.arange(Ls)
+        shape_c = (1, Ls) + (1,) * (2 + len(lat))
+        cp = jnp.where(s_idx == Ls - 1, op.m_f, -1.0).reshape(shape_c)
+        cm = jnp.where(s_idx == 0, op.m_f, -1.0).reshape(shape_c)
+
+        def spin(P, v):
+            return cplx.cbilinear(
+                lambda pp, vv: jnp.einsum("st,nLtc...->nLsc...", pp, vv,
+                                          precision=cplx.default_precision()),
+                P, v)
+
+        tp = spin(op.Pm, xp)
+        tm = spin(op.Pp, xm)
+        extra = cplx.CArray(cp * tp.re + cm * tm.re,
+                            cp * tp.im + cm * tm.im)
+        extra = cplx.cmap(lambda a: a.reshape((n, Ls) + rest), extra)
+        return cplx.add(y, extra)
+
     return bsr_krylov(1.0, op, x, "sxyztSCn")

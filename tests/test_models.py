@@ -514,3 +514,45 @@ def test_clover_soa_kernel_interpret():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_domain_wall_soa_matches_aos():
+    """Domain-wall on the SoA hot path (Ls folded into the Pallas
+    kernel's columns + elementwise s5 projector walls) equals the
+    generic 5D AoS stencil."""
+    from superbblas_tpu.models import apply_domain_wall, domain_wall_operator
+    from superbblas_tpu.models.domain_wall import DomainWallSoAOperator
+
+    lat = (2, 2, 8, 128)
+    Ls = 4
+    np_links = None
+    op_a = domain_wall_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, key=5,
+                                dtype=jnp.complex64)
+    op_s = domain_wall_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, key=5,
+                                dtype=jnp.complex64, layout="soa")
+    assert isinstance(op_s, DomainWallSoAOperator)
+
+    rng = np.random.default_rng(0)
+    n = 2
+    shape_aos = (Ls,) + lat + (4, 3, n)
+    x = rng.standard_normal(shape_aos).astype(np.float32)
+    xi = rng.standard_normal(shape_aos).astype(np.float32)
+    xC = cplx.CArray(jnp.asarray(x), jnp.asarray(xi))
+    y_aos = apply_domain_wall(op_a, xC)
+
+    # AoS [Ls, X, Y, Z, T, S, C, n] -> SoA [n, Ls, S*C, X, Y, Z, T]
+    def to_soa(a):
+        a = jnp.transpose(a, (7, 0, 5, 6, 1, 2, 3, 4))
+        return a.reshape(n, Ls, 12, *lat)
+    x_soa = cplx.cmap(to_soa, xC)
+    y_soa = apply_domain_wall(op_s, x_soa)
+
+    def from_soa(a):
+        a = a.reshape(n, Ls, 4, 3, *lat)
+        return jnp.transpose(a, (1, 4, 5, 6, 7, 2, 3, 0))
+    y_back = cplx.cmap(from_soa, y_soa)
+    np.testing.assert_allclose(np.asarray(y_back.re), np.asarray(y_aos.re),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
+                               rtol=3e-4, atol=3e-4)
+    assert op_s.flops_per_matvec(n) > 0
