@@ -78,7 +78,7 @@ def chip_bandwidth(device) -> float:
     return _chip_lookup(device, BANDWIDTHS, 819e9)
 
 
-def time_chained(make_fn, n1=100, n2=500):
+def time_chained(make_fn, n1=100, n2=500, reps=5):
     """Two-point latency-cancelled timing of a chained workload.
 
     ``make_fn(n)`` must return a jitted nullary-ish callable running the
@@ -95,7 +95,7 @@ def time_chained(make_fn, n1=100, n2=500):
         fn = make_fn(n)
         float(fn())  # compile + warm
         times = []
-        for _ in range(5):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(fn())
             times.append(time.perf_counter() - t0)
@@ -324,6 +324,12 @@ def _flagship(dev):
 
 def main():
     import jax
+
+    # persistent jit cache: repeated bench invocations skip the ~30 s
+    # per-workload compiles (first-ever run still pays them); stale
+    # caches from ANOTHER machine only cost harmless stderr warnings
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sbt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     dev = jax.devices()[0]
     results = _flagship(dev)

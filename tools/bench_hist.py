@@ -34,7 +34,7 @@ def bench_commit(commit: str, all_metrics: bool) -> dict:
     try:
         args = [sys.executable, "bench.py"] + (["--all"] if all_metrics else [])
         r = subprocess.run(args, cwd=wt, capture_output=True, text=True,
-                           timeout=1200)
+                           timeout=2700)
         out = {}
         for line in r.stdout.splitlines():
             line = line.strip()
