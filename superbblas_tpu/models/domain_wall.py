@@ -57,6 +57,11 @@ class DomainWallSoAOperator:
     m_f: float
     Pp: cplx.CArray              # [NS, NS] chiral projectors
     Pm: cplx.CArray
+    # diagonal fast path (chiral basis: g5 = diag(1,1,-1,-1), so P+- are
+    # 0/1 diagonal): per-channel [NS*NC] real weights; the s5 term is
+    # then a pure elementwise multiply-add — no spin contraction at all
+    pp_diag: Optional[jax.Array] = None
+    pm_diag: Optional[jax.Array] = None
 
     @property
     def dim_d(self):
@@ -112,9 +117,19 @@ def domain_wall_operator(
                             links=links, layout="soa")
         mk = lambda m: cplx.CArray(jnp.asarray(m.real.astype(part_dt)),
                                    jnp.asarray(m.imag.astype(part_dt)))
+
+        def diag_or_none(P):
+            if np.allclose(P, np.diag(np.diag(P))) and \
+                    np.allclose(P.imag, 0):
+                return jnp.asarray(
+                    np.repeat(np.diag(P).real, NC).astype(part_dt))
+            return None
+
         return DomainWallSoAOperator(wilson=w, Ls=Ls, m_f=float(m_f),
                                      Pp=mk(Pp.astype(complex)),
-                                     Pm=mk(Pm.astype(complex)))
+                                     Pm=mk(Pm.astype(complex)),
+                                     pp_diag=diag_or_none(Pp),
+                                     pm_diag=diag_or_none(Pm))
     g = gamma_matrices()
     g5 = g[0] @ g[1] @ g[2] @ g[3]
     Pp = (np.eye(NS) + g5) / 2.0
@@ -191,11 +206,30 @@ def apply_domain_wall(op, x):
         # c^+ = -1 except m_f at the s = Ls-1 wall (wrap to 0),
         # c^- = -1 except m_f at the s = 0 wall (wrap to Ls-1)
         lat = rest[1:]
+        s_idx = jnp.arange(Ls)
+
+        if op.pp_diag is not None and op.pm_diag is not None:
+            # chiral-basis fast path: P+- are diagonal, so the spin
+            # contraction collapses to per-channel weights — one fused
+            # elementwise multiply-add over the SoA field
+            shape_c = (1, Ls, 1) + (1,) * len(lat)
+            cp = jnp.where(s_idx == Ls - 1, op.m_f, -1.0).reshape(shape_c)
+            cm = jnp.where(s_idx == 0, op.m_f, -1.0).reshape(shape_c)
+            shape_f = (1, 1, rest[0]) + (1,) * len(lat)
+            wp = op.pm_diag.reshape(shape_f)       # weights for x_{s+1}
+            wm = op.pp_diag.reshape(shape_f)       # weights for x_{s-1}
+
+            def term(a):
+                ap = jnp.roll(a, -1, axis=1)
+                am = jnp.roll(a, 1, axis=1)
+                return (cp * wp) * ap + (cm * wm) * am
+
+            return cplx.CArray(y.re + term(x.re), y.im + term(x.im))
+
         xs = cplx.cmap(
             lambda a: a.reshape((n, Ls, NS, NC) + lat), x)
         xp = cplx.cmap(lambda a: jnp.roll(a, -1, axis=1), xs)   # x_{s+1}
         xm = cplx.cmap(lambda a: jnp.roll(a, 1, axis=1), xs)    # x_{s-1}
-        s_idx = jnp.arange(Ls)
         shape_c = (1, Ls) + (1,) * (2 + len(lat))
         cp = jnp.where(s_idx == Ls - 1, op.m_f, -1.0).reshape(shape_c)
         cm = jnp.where(s_idx == 0, op.m_f, -1.0).reshape(shape_c)
