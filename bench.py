@@ -78,7 +78,7 @@ def chip_bandwidth(device) -> float:
     return _chip_lookup(device, BANDWIDTHS, 819e9)
 
 
-def time_chained(make_fn, n1=100, n2=500, reps=5):
+def time_chained(make_fn, n1=100, n2=500):
     """Two-point latency-cancelled timing of a chained workload.
 
     ``make_fn(n)`` must return a jitted nullary-ish callable running the
@@ -95,7 +95,7 @@ def time_chained(make_fn, n1=100, n2=500, reps=5):
         fn = make_fn(n)
         float(fn())  # compile + warm
         times = []
-        for _ in range(reps):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(fn())
             times.append(time.perf_counter() - t0)

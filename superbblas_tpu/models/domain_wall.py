@@ -38,6 +38,7 @@ __all__ = ["domain_wall_operator", "apply_domain_wall",
            "DomainWallSoAOperator"]
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DomainWallSoAOperator:
     """Domain-wall operator in the SoA hot layout.
@@ -45,9 +46,14 @@ class DomainWallSoAOperator:
     The 4D hopping part is s5-INDEPENDENT (links broadcast over s), so
     folding Ls into the Pallas kernel's column axis runs it at the
     Wilson-kernel rate; the s5 chiral-projector couplings are a pure
-    elementwise term (spin matrix x s-shift with mass walls).  Reference
-    analog: the same decomposition consumers drive through two
-    create_bsr handles (bsr.h:2287) — here one SoA kernel + VPU term.
+    elementwise term.  In the engine's (chiral, DeGrand-Rossi) gamma
+    basis g5 = diag(1,1,-1,-1), so P+- are 0/1 DIAGONAL and the s5 spin
+    contraction collapses to per-channel weights — one fused elementwise
+    multiply-add with mass walls (5.1 TF/s full-matvec on v5e; the
+    generic-basis einsum form measured 1.9 and was removed: see the
+    chiral-fast-path commit for it).  Reference analog: the same
+    decomposition consumers drive through two create_bsr handles
+    (bsr.h:2287) — here one SoA kernel + a VPU term.
 
     ``apply_domain_wall`` takes x as a CArray [ncols, Ls, 12, X, Y, Z, T].
     """
@@ -55,13 +61,19 @@ class DomainWallSoAOperator:
     wilson: BSROperator          # 4D SoA stencil with mass = 1 - M5
     Ls: int
     m_f: float
-    Pp: cplx.CArray              # [NS, NS] chiral projectors
-    Pm: cplx.CArray
-    # diagonal fast path (chiral basis: g5 = diag(1,1,-1,-1), so P+- are
-    # 0/1 diagonal): per-channel [NS*NC] real weights; the s5 term is
-    # then a pure elementwise multiply-add — no spin contraction at all
-    pp_diag: Optional[jax.Array] = None
-    pm_diag: Optional[jax.Array] = None
+    pp_diag: jax.Array           # [NS*NC] per-channel diag(P+) weights
+    pm_diag: jax.Array
+
+    # pytree protocol, like BSROperator: jit/device_put/tree_map work
+    def tree_flatten(self):
+        return (self.wilson, self.pp_diag, self.pm_diag), (self.Ls,
+                                                           self.m_f)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        wilson, pp, pm = children
+        Ls, m_f = aux
+        return cls(wilson=wilson, Ls=Ls, m_f=m_f, pp_diag=pp, pm_diag=pm)
 
     @property
     def dim_d(self):
@@ -115,21 +127,20 @@ def domain_wall_operator(
         part_dt = np.float32 if dtype == jnp.complex64 else np.float64
         w = wilson_operator(lat_dims, mass=1.0 - M5, r=r, dtype=dtype,
                             links=links, layout="soa")
-        mk = lambda m: cplx.CArray(jnp.asarray(m.real.astype(part_dt)),
-                                   jnp.asarray(m.imag.astype(part_dt)))
-
-        def diag_or_none(P):
-            if np.allclose(P, np.diag(np.diag(P))) and \
-                    np.allclose(P.imag, 0):
-                return jnp.asarray(
-                    np.repeat(np.diag(P).real, NC).astype(part_dt))
-            return None
+        def diag_of(P):
+            if not (np.allclose(P, np.diag(np.diag(P)))
+                    and np.allclose(np.imag(P), 0)):
+                raise NotImplementedError(
+                    "SoA domain-wall requires a gamma basis with diagonal "
+                    "real chiral projectors (g5 diagonal); the generic-"
+                    "basis einsum form lives in the chiral-fast-path "
+                    "commit history")
+            return jnp.asarray(
+                np.repeat(np.diag(P).real, NC).astype(part_dt))
 
         return DomainWallSoAOperator(wilson=w, Ls=Ls, m_f=float(m_f),
-                                     Pp=mk(Pp.astype(complex)),
-                                     Pm=mk(Pm.astype(complex)),
-                                     pp_diag=diag_or_none(Pp),
-                                     pm_diag=diag_or_none(Pm))
+                                     pp_diag=diag_of(Pp),
+                                     pm_diag=diag_of(Pm))
     g = gamma_matrices()
     g5 = g[0] @ g[1] @ g[2] @ g[3]
     Pp = (np.eye(NS) + g5) / 2.0
@@ -204,47 +215,23 @@ def apply_domain_wall(op, x):
 
         # s5 term: y_s += c^+_s (Pm x_{s+1}) + c^-_s (Pp x_{s-1}),
         # c^+ = -1 except m_f at the s = Ls-1 wall (wrap to 0),
-        # c^- = -1 except m_f at the s = 0 wall (wrap to Ls-1)
+        # c^- = -1 except m_f at the s = 0 wall (wrap to Ls-1).
+        # Diagonal projectors (chiral basis) -> per-channel weights: one
+        # fused elementwise multiply-add over the SoA field.
         lat = rest[1:]
         s_idx = jnp.arange(Ls)
-
-        if op.pp_diag is not None and op.pm_diag is not None:
-            # chiral-basis fast path: P+- are diagonal, so the spin
-            # contraction collapses to per-channel weights — one fused
-            # elementwise multiply-add over the SoA field
-            shape_c = (1, Ls, 1) + (1,) * len(lat)
-            cp = jnp.where(s_idx == Ls - 1, op.m_f, -1.0).reshape(shape_c)
-            cm = jnp.where(s_idx == 0, op.m_f, -1.0).reshape(shape_c)
-            shape_f = (1, 1, rest[0]) + (1,) * len(lat)
-            wp = op.pm_diag.reshape(shape_f)       # weights for x_{s+1}
-            wm = op.pp_diag.reshape(shape_f)       # weights for x_{s-1}
-
-            def term(a):
-                ap = jnp.roll(a, -1, axis=1)
-                am = jnp.roll(a, 1, axis=1)
-                return (cp * wp) * ap + (cm * wm) * am
-
-            return cplx.CArray(y.re + term(x.re), y.im + term(x.im))
-
-        xs = cplx.cmap(
-            lambda a: a.reshape((n, Ls, NS, NC) + lat), x)
-        xp = cplx.cmap(lambda a: jnp.roll(a, -1, axis=1), xs)   # x_{s+1}
-        xm = cplx.cmap(lambda a: jnp.roll(a, 1, axis=1), xs)    # x_{s-1}
-        shape_c = (1, Ls) + (1,) * (2 + len(lat))
+        shape_c = (1, Ls, 1) + (1,) * len(lat)
         cp = jnp.where(s_idx == Ls - 1, op.m_f, -1.0).reshape(shape_c)
         cm = jnp.where(s_idx == 0, op.m_f, -1.0).reshape(shape_c)
+        shape_f = (1, 1, rest[0]) + (1,) * len(lat)
+        wp = op.pm_diag.reshape(shape_f)       # weights for x_{s+1}
+        wm = op.pp_diag.reshape(shape_f)       # weights for x_{s-1}
 
-        def spin(P, v):
-            return cplx.cbilinear(
-                lambda pp, vv: jnp.einsum("st,nLtc...->nLsc...", pp, vv,
-                                          precision=cplx.default_precision()),
-                P, v)
+        def term(a):
+            ap = jnp.roll(a, -1, axis=1)
+            am = jnp.roll(a, 1, axis=1)
+            return (cp * wp) * ap + (cm * wm) * am
 
-        tp = spin(op.Pm, xp)
-        tm = spin(op.Pp, xm)
-        extra = cplx.CArray(cp * tp.re + cm * tm.re,
-                            cp * tp.im + cm * tm.im)
-        extra = cplx.cmap(lambda a: a.reshape((n, Ls) + rest), extra)
-        return cplx.add(y, extra)
+        return cplx.CArray(y.re + term(x.re), y.im + term(x.im))
 
     return bsr_krylov(1.0, op, x, "sxyztSCn")

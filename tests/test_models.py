@@ -525,7 +525,6 @@ def test_domain_wall_soa_matches_aos():
 
     lat = (2, 2, 8, 128)
     Ls = 4
-    np_links = None
     op_a = domain_wall_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, key=5,
                                 dtype=jnp.complex64)
     op_s = domain_wall_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, key=5,
