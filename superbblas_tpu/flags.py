@@ -17,6 +17,10 @@ TPU-native analog of the reference's ``runtime_features.h:15-158`` (env vars
     selection (runtime_features.h:101-125): "ragged" =
     lax.ragged_all_to_all per-peer variable counts, "dense" = tiled
     all_to_all, "auto" picks per backend.
+  * ``SBT_REDIST_PACK`` ("auto"|"boxes"|"runs", default "auto"): the
+    explicit-redistribution packing strategy — "boxes" = static
+    seam-split box copies per rank (lax.switch), "runs" = blocked-run
+    gather/scatter plans.
   * ``SBT_CACHEGB`` (float, default 1.0): byte budget in GiB for the
     library-level metadata caches (redistribution plans) — the analog of
     the reference's ``SB_CACHEGB`` (cache.h:238-265).  Exceeding the
@@ -94,6 +98,20 @@ def get_redist_method() -> str:
     if v not in ("auto", "ragged", "dense"):
         raise ValueError(
             f"SBT_REDIST_METHOD must be auto|ragged|dense, got {v!r}")
+    return v
+
+
+def get_redist_pack() -> str:
+    """Explicit-redistribution packing strategy: "boxes" bakes seam-split
+    fragment pieces as static XLA copies per rank (copy bandwidth, any
+    alignment), "runs" uses blocked-run gather/scatter index plans (for
+    plans with very many pieces), "auto" picks by piece count.  The
+    analog of the reference's pack/copy_n_blocking layer choice
+    (dist.h:798-1010)."""
+    v = _env_str("SBT_REDIST_PACK", "auto").lower()
+    if v not in ("auto", "boxes", "runs"):
+        raise ValueError(
+            f"SBT_REDIST_PACK must be auto|boxes|runs, got {v!r}")
     return v
 
 

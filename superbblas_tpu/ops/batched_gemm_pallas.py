@@ -113,6 +113,17 @@ def batched_small_gemm(b: jax.Array, x: jax.Array,
         force_pallas
         and jax.devices()[0].platform not in ("cpu",)
         and batched_gemm_eligible(I, J, b.dtype))
+    if force_pallas and not use_pallas:
+        # a future-toolchain re-evaluation must not silently measure the
+        # XLA path while believing it measured the Pallas kernel
+        import warnings
+
+        reason = ("platform is CPU"
+                  if jax.devices()[0].platform == "cpu"
+                  else f"block shape ({I}, {J}, {b.dtype}) not eligible")
+        warnings.warn(
+            f"batched_small_gemm: force_pallas=True but falling back to "
+            f"XLA dot_general ({reason})", RuntimeWarning)
     if not use_pallas:
         return jax.lax.dot_general(
             b, x, (((2,), (1,)), ((0,), (0,))),

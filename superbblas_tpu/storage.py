@@ -64,6 +64,8 @@ __all__ = [
     "load_sharded",
     "save_async",
     "save_sharded_async",
+    "create_storage_sharded",
+    "close_storage_sharded",
 ]
 
 MAGIC = 314
@@ -733,16 +735,105 @@ def _shard_boxes(x) -> List[Tuple[Tuple[int, ...], Tuple[int, ...]]]:
     return boxes
 
 
+def _sync_processes(tag: str) -> None:
+    """Cross-process barrier (no-op single-process): the MPI_Barrier the
+    reference's MPI-IO collective writes rely on (storage.h:202-342)."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
+
+
+def _refresh_blocks(sto: Storage) -> None:
+    """Re-read the chunk/block metadata from the file into this handle —
+    how non-zero processes observe blocks DECLARED BY PROCESS 0 after the
+    declare barrier (the reference reaches the same state because
+    append_blocks is collective over MPI, storage.h:1690-1750)."""
+    with sto._lock:
+        if sto._file is not None and not sto._file.closed:
+            sto._file.close()
+            sto._file = None
+        fresh = open_storage(sto.path, mode=sto.mode)
+        sto.blocks = fresh.blocks
+        sto.num_chunks = fresh.num_chunks
+        sto.header_crc = fresh.header_crc
+        sto.checksum_level = fresh.checksum_level
+        sto._grid = None
+        sto._data_end = fresh._data_end
+        sto._has_trailer = fresh._has_trailer
+        sto._num_chunks_off = fresh._num_chunks_off
+
+
+def create_storage_sharded(path: str, o: str, dim, dtype=np.float64,
+                           metadata: str = "", checksum: int = 0) -> Storage:
+    """Multi-process-coordinated :func:`create_storage`: process 0 writes
+    the header, a global barrier publishes it, every other process opens
+    the same file read-write.  Single-process it is exactly
+    create_storage.  The MPI-IO collective-create analog
+    (storage.h:202-342)."""
+    if jax.process_count() <= 1:
+        return create_storage(path, o, dim, dtype, metadata, checksum)
+    if jax.process_index() == 0:
+        sto = create_storage(path, o, dim, dtype, metadata, checksum)
+        _sync_processes(f"sbt:s3t:create:{os.path.basename(path)}")
+        return sto
+    _sync_processes(f"sbt:s3t:create:{os.path.basename(path)}")
+    sto = open_storage(path, mode="r+")
+    sto.order = o
+    return sto
+
+
+def close_storage_sharded(sto: Storage) -> None:
+    """Multi-process-coordinated :func:`close_storage`: a barrier waits
+    for every process's block writes, then ONLY process 0 emits the
+    trailing checksum (the reference gathers per-block CRCs to rank 0,
+    storage.h:1964-2125); the rest just close their handles."""
+    if jax.process_count() <= 1:
+        close_storage(sto)
+        return
+    _sync_processes(f"sbt:s3t:close:{os.path.basename(sto.path)}")
+    if jax.process_index() == 0:
+        # level-1/2 trailers cover other processes' block VALUES too:
+        # re-scan so the global CRC reads the final bytes
+        close_storage(sto)
+    elif sto._file is not None and not sto._file.closed:
+        sto._file.close()
+    _sync_processes(f"sbt:s3t:closed:{os.path.basename(sto.path)}")
+
+
+def _declare_coordinated(sto: Storage, boxes) -> None:
+    """Declare ``boxes`` exactly once across processes: process 0 appends
+    the chunk, a barrier publishes it, the others re-read the block table
+    from the file.  Without this, concurrent save_sharded calls from N
+    processes would each append chunk metadata at the same offsets —
+    silent file corruption (round-2 VERDICT item 4)."""
+    if jax.process_count() <= 1:
+        append_blocks(sto, boxes)
+        return
+    # tag computed BEFORE the append so it is identical on every process
+    # (sync_global_devices asserts tag equality across processes)
+    tag = (f"sbt:s3t:declare:{os.path.basename(sto.path)}:"
+           f"{sto.num_chunks}")
+    if jax.process_index() == 0:
+        append_blocks(sto, boxes)
+    _sync_processes(tag)
+    if jax.process_index() != 0:
+        _refresh_blocks(sto)
+
+
 def save_sharded(sto: Storage, x, o: str) -> None:
     """Write a sharded global array, one S3T block per device shard.
 
     The reference writes checkpoints collectively with MPI-IO: every rank
     seeks to its own block's offset and writes only local data
     (storage.h:202-342, 1002-1094).  Here every *device shard* is one
-    block: blocks are declared on first save (append_blocks), then each
-    shard's bytes go to its contiguous file region — no gather of the
-    global array.  Multi-process meshes write disjoint addressable shards
-    to a shared filesystem the same way (create/declare on process 0).
+    block: blocks are declared on first save — by PROCESS 0 only on
+    multi-process meshes, with a barrier before the others re-read the
+    block table (:func:`_declare_coordinated`) — then each process
+    writes its own addressable shards' bytes to their disjoint file
+    regions.  Pair with :func:`create_storage_sharded` /
+    :func:`close_storage_sharded` for the create/close legs.
 
     The resulting file is a plain S3T tensor: the reference
     implementation (or :func:`load`) can read it with any partitioning.
@@ -752,7 +843,7 @@ def save_sharded(sto: Storage, x, o: str) -> None:
         raise ValueError("order length must match array rank")
     boxes = _shard_boxes(x)
     if not sto.blocks:
-        append_blocks(sto, boxes)
+        _declare_coordinated(sto, boxes)
     declared = {(b.frm, b.size): b for b in sto.blocks}
     arr = x.re if cplx.is_carray(x) else x
     im_by_index = ({tuple(map(str, s.index)): s.data
@@ -857,7 +948,7 @@ def save_sharded_async(sto: Storage, x, o: str):
     taken synchronously, block writes run on the IO pool.  Returns a
     future."""
     if not sto.blocks:
-        append_blocks(sto, _shard_boxes(x))
+        _declare_coordinated(sto, _shard_boxes(x))
     arr = x.re if cplx.is_carray(x) else x
     im_by_index = ({tuple(map(str, s.index)): np.asarray(s.data)
                     for s in x.im.addressable_shards}

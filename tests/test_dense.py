@@ -110,6 +110,65 @@ def test_sharded_batch_cholesky():
                                rtol=1e-10, atol=1e-10)
 
 
+def test_sharded_trsm_gesm_inversion():
+    """Batch label sharded over the mesh for the three remaining dense
+    ops (round-2 VERDICT item 9 — the reference's reorder-to-local
+    applies to all four solvers, dense.h:672-808): each device solves its
+    own batch entries under GSPMD."""
+    rng = np.random.default_rng(6)
+    a = hpd_batch(rng, (8,), 4, complex_=False)
+    x = rng.standard_normal((8, 4, 3))
+    mesh = par.make_mesh({"k": 8})
+    sh = NamedSharding(mesh, P("k", None, None))
+    ad = jax.device_put(jnp.asarray(a), sh)
+    xd = jax.device_put(jnp.asarray(x), sh)
+
+    u = dense.cholesky(ad, "krc", "r", "c")
+    y = jax.jit(lambda u_, x_: dense.trsm(
+        1.0, u_, "krc", "r", "c", x_, "krn", "kcn"))(u, xd)
+    np.testing.assert_allclose(
+        np.einsum("krc,kcn->krn", np.asarray(u), np.asarray(y)), x,
+        rtol=1e-9, atol=1e-9)
+
+    y2 = jax.jit(lambda a_, x_: dense.gesm(
+        1.0, a_, "krc", "r", "c", x_, "krn", "kcn"))(ad, xd)
+    np.testing.assert_allclose(
+        np.einsum("krc,kcn->krn", a, np.asarray(y2)), x,
+        rtol=1e-9, atol=1e-9)
+
+    inv = jax.jit(lambda a_: dense.inversion(a_, "krc", "r", "c"))(ad)
+    got = np.einsum("krc,kcs->krs", a, np.asarray(inv))
+    np.testing.assert_allclose(
+        got, np.broadcast_to(np.eye(4), (8, 4, 4)), rtol=1e-9, atol=1e-9)
+
+
+def test_trsm_matrix_axis_sharded():
+    """Adversarial sharding for trsm/gesm: the matrix ROW axis sharded
+    over the mesh (dense.h:672-808 reorders this to local; GSPMD must
+    still solve correctly, typically via an all-gather of the factor)."""
+    rng = np.random.default_rng(7)
+    a = hpd_batch(rng, (2,), 8, complex_=False)
+    x = rng.standard_normal((2, 8, 5))
+    mesh = par.make_mesh({"r": 8})
+    ad = jax.device_put(jnp.asarray(a),
+                        NamedSharding(mesh, P(None, "r", None)))
+    xd = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P(None, "r", None)))
+    u = dense.cholesky(ad, "krc", "r", "c")
+    y = dense.trsm(1.0, u, "krc", "r", "c", xd, "krn", "kcn")
+    np.testing.assert_allclose(
+        np.einsum("krc,kcn->krn", np.asarray(u), np.asarray(y)), x,
+        rtol=1e-8, atol=1e-8)
+    y2 = dense.gesm(1.0, ad, "krc", "r", "c", xd, "krn", "kcn")
+    np.testing.assert_allclose(
+        np.einsum("krc,kcn->krn", a, np.asarray(y2)), x,
+        rtol=1e-8, atol=1e-8)
+    inv = dense.inversion(ad, "krc", "r", "c")
+    np.testing.assert_allclose(
+        np.einsum("krc,kcs->krs", a, np.asarray(inv)),
+        np.broadcast_to(np.eye(8), (2, 8, 8)), rtol=1e-8, atol=1e-8)
+
+
 def test_cholesky_matrix_axis_sharded():
     """Adversarial sharding: a MATRIX axis sharded over the mesh (the
     case the reference's prepare_for_cholesky reorders away,

@@ -87,6 +87,28 @@ got = R.unpack_global(
     np.asarray(jax.device_put(
         out, NamedSharding(mesh, P(None, None, None)))), dst)
 assert np.array_equal(got, gx), "cross-process redistribution mismatch"
+
+# 5. coordinated multi-process storage: create/declare on process 0 with
+# barriers (storage._declare_coordinated), every process writes only ITS
+# addressable shards to the shared file, a single trailer CRC from
+# process 0 — the MPI-IO collective-write analog (storage.h:202-342).
+# Re-open and verify both contents and the level-1 global checksum.
+from superbblas_tpu import storage as S
+spath = sys.argv[4]
+gdim = (n * 4, 6)
+sto = S.create_storage_sharded(spath, "xy", gdim, dtype=np.float64,
+                               checksum=1)
+gx2 = np.arange(np.prod(gdim), dtype=np.float64).reshape(gdim)
+xs2 = jax.device_put(jnp.asarray(gx2), NamedSharding(mesh, P("x", None)))
+S.save_sharded(sto, xs2, "xy")
+S.close_storage_sharded(sto)
+if pid == 0:
+    back = S.open_storage(spath, mode="r")
+    S.check_or_write_checksums(back)      # verifies the trailer CRC chain
+    rd = np.asarray(S.load_sharded(
+        back, NamedSharding(mesh, P(None, None))).addressable_shards[0].data)
+    assert np.array_equal(rd, gx2), "coordinated storage round-trip mismatch"
+    S.close_storage(back)
 print(f"proc {pid}: MULTIPROCESS_OK", flush=True)
 '''
 
@@ -102,8 +124,9 @@ def test_two_process_distributed(tmp_path):
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    spath = str(tmp_path / "coord.s3t")
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), "2", port],
+        [sys.executable, str(worker), str(pid), "2", port, spath],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, text=True) for pid in range(2)]

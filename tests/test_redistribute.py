@@ -213,6 +213,144 @@ def test_ragged_method_matches_dense(mesh1d):
                                           err_msg=f"case {case} {mode}")
 
 
+def test_masked_explicit_fuzz(mesh1d, monkeypatch):
+    """Masked copies through the REAL collective executor (round-2
+    VERDICT item 5): random wrapped/overlapping partitions + random
+    global masks vs a per-site host oracle, both semantics, with the
+    SBT_DEBUG>=2 mock-index replay active on the last case (the
+    reference's mask-aware plans + ns_copy_test, dist.h:1852-1916,
+    1919-2116)."""
+    from superbblas_tpu import flags
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(777)
+    dim = (8, 6)
+    n = 8
+    for case in range(4):
+        boxes_src, boxes_dst = [], []
+        for _ in range(n):
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_src.append((f, s))
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_dst.append((f, s))
+        src = Partition(dim=dim, boxes=tuple(boxes_src))
+        dst = Partition(dim=dim, boxes=tuple(boxes_dst))
+        mask0 = rng.random(dim) < 0.7
+        mask1 = rng.random(dim) < 0.7
+        x = rng.standard_normal(dim)
+        stack = put(R.pack_global(x, src), mesh1d)
+
+        if case == 3:
+            monkeypatch.setenv("SBT_DEBUG", "2")
+            flags.clear_cache()
+            R.make_plan.cache_clear()
+        try:
+            for mode in ("copy", "add"):
+                out = np.asarray(R.redistribute_explicit(
+                    stack, src, dst, mesh1d, copy_add=mode,
+                    mask_src=mask0, mask_dst=mask1))
+                # per-site oracle: with GLOBAL masks every replica shares
+                # the mask value, so copy = x iff covered & m0 & m1;
+                # add = x * (#covering src boxes) * m0 * m1
+                for j, (dfrm, dsz) in enumerate(dst.boxes):
+                    coords = np.meshgrid(
+                        *[np.arange(f, f + s) % d
+                          for f, s, d in zip(dfrm, dsz, dim)],
+                        indexing="ij")
+                    gx = x[tuple(coords)]
+                    ncov = np.zeros(dsz, dtype=np.int64)
+                    for sfrm, ssz in src.boxes:
+                        inbox = np.ones(dsz, dtype=bool)
+                        for c, f, z, d in zip(coords, sfrm, ssz, dim):
+                            inbox &= ((c - f) % d) < z
+                        ncov += inbox
+                    m = mask0[tuple(coords)] & mask1[tuple(coords)]
+                    if mode == "copy":
+                        want = np.where(m & (ncov > 0), gx, 0.0)
+                    else:
+                        want = gx * ncov * m
+                    blk = out[j][tuple(slice(0, s) for s in dsz)]
+                    np.testing.assert_allclose(
+                        blk, want, atol=1e-12,
+                        err_msg=f"case {case} {mode} rank {j}")
+        finally:
+            if case == 3:
+                monkeypatch.delenv("SBT_DEBUG", raising=False)
+                flags.clear_cache()
+                R.make_plan.cache_clear()
+
+
+def test_masked_stacked_first_covering_rank(mesh1d):
+    """STACKED (per-rank) masks: in copy mode the FIRST covering source
+    rank is assigned the element; if ITS mask is off the element is
+    dropped, not reassigned to a later covering rank (the reference
+    filters plan indices after assignment, dist.h:944-970)."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (4,)
+    n = 8
+    full = ((0,), (4,))
+    empty = ((0,), (0,))
+    src = Partition(dim=dim, boxes=(full, full) + (empty,) * 6)
+    dst = Partition(dim=dim, boxes=(full,) + (empty,) * 7)
+    x = np.arange(1.0, 5.0)
+    stack = put(R.pack_global(x, src), mesh1d)
+    ms = np.zeros((n, 4), dtype=bool)
+    ms[0] = [False, True, False, True]   # first covering rank
+    ms[1] = [True, True, True, True]     # later replica: must NOT rescue
+    out = np.asarray(R.redistribute_explicit(
+        stack, src, dst, mesh1d, copy_add="copy", mask_src=ms))
+    np.testing.assert_array_equal(out[0], [0.0, 2.0, 0.0, 4.0])
+    # add mode counts every unmasked replica
+    out2 = np.asarray(R.redistribute_explicit(
+        stack, src, dst, mesh1d, copy_add="add", mask_src=ms))
+    np.testing.assert_array_equal(out2[0], [1.0, 4.0, 3.0, 8.0])
+
+
+def test_pack_strategies_match(mesh1d):
+    """The "boxes" packer (per-rank static-copy programs under
+    lax.switch) and the "runs" packer (blocked-run gather/scatter)
+    produce identical results on wrapped/overlapping fuzz partitions,
+    under both exchange methods and both copy semantics."""
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(515)
+    dim = (8, 6)
+    n = 8
+    for case in range(3):
+        boxes_src, boxes_dst = [], []
+        for _ in range(n):
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_src.append((f, s))
+            f = (int(rng.integers(0, dim[0])), int(rng.integers(0, dim[1])))
+            s = (int(rng.integers(1, dim[0] + 1)),
+                 int(rng.integers(1, dim[1] + 1)))
+            boxes_dst.append((f, s))
+        src = Partition(dim=dim, boxes=tuple(boxes_src))
+        dst = Partition(dim=dim, boxes=tuple(boxes_dst))
+        x = rng.standard_normal(dim)
+        stack = put(R.pack_global(x, src), mesh1d)
+        for mode in ("copy", "add"):
+            outs = {}
+            for pack in ("boxes", "runs"):
+                plan = R.RedistributionPlan(src, dst, mode, pack=pack)
+                assert plan.pack == pack
+                for method in ("dense", "ragged"):
+                    outs[(pack, method)] = np.asarray(
+                        R._execute(plan, stack, mesh1d, "p", method))
+            ref = outs[("boxes", "dense")]
+            for key, got in outs.items():
+                np.testing.assert_allclose(
+                    got, ref, atol=1e-12,
+                    err_msg=f"case {case} {mode} {key}")
+
+
 def _simulate_plan(plan, stack):
     """Host-side execution of a plan's run descriptors (numpy): the
     reference-style mock replay used to validate plans at rank counts
@@ -410,13 +548,31 @@ def test_debug_ladder_catches_corrupt_plan(mesh1d, monkeypatch):
         out = R.redistribute_explicit(stack, src, dst, mesh1d)
         np.testing.assert_array_equal(R.unpack_global(np.asarray(out), dst),
                                       x)
-        # corrupt the cached plan: swap two receive runs on rank 0
+        # corrupt the cached plan: swap the destination placement of two
+        # equal-shaped pieces headed to the same rank (coverage stays
+        # disjoint, values land at the wrong sites — only the mock-index
+        # replay can catch it)
         plan = R.make_plan(src, dst)
-        plan.recv_starts = plan.recv_starts.copy()
-        plan.recv_starts[0, 0], plan.recv_starts[0, 1] = (
-            plan.recv_starts[0, 1], plan.recv_starts[0, 0] + 1)
+        done = False
+        keys = sorted(plan.pair_pieces, key=lambda k: k[1])
+        for a in range(len(keys)):
+            for b in range(a + 1, len(keys)):
+                ka, kb = keys[a], keys[b]
+                if ka[1] != kb[1]:
+                    continue
+                pa, pb = plan.pair_pieces[ka], plan.pair_pieces[kb]
+                if (pa[0, 2] == pb[0, 2]).all():
+                    pa, pb = pa.copy(), pb.copy()
+                    pa[0, 1], pb[0, 1] = pb[0, 1].copy(), pa[0, 1].copy()
+                    plan.pair_pieces[ka], plan.pair_pieces[kb] = pa, pb
+                    done = True
+                    break
+            if done:
+                break
+        assert done, "fixture: no equal-shaped piece pair to corrupt"
+        plan._send_starts = plan._recv_starts = None  # derived layouts too
         plan._dense = None
-        plan._inv_dense = plan._inv_ragged = None   # derived layouts too
+        plan._inv_dense = plan._inv_ragged = None
         with pytest.raises(RuntimeError, match="debug replay mismatch"):
             R.redistribute_explicit(stack, src, dst, mesh1d)
     finally:
