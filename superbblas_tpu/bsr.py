@@ -74,6 +74,7 @@ __all__ = [
     "bsr_cast_storage",
     "bsr_krylov",
     "bsr_get_preferred_layout",
+    "bsr_allowed_layouts",
 ]
 
 
@@ -468,13 +469,44 @@ def create_kron_bsr(
 
 
 def bsr_get_preferred_layout(op: BSROperator) -> Tuple[str, str]:
-    """Preferred x and y orderings (bsr_get_preferred_layout,
-    bsr.h:2395): lattice labels outermost, then kron block labels, then
-    block labels, then columns innermost is canonical here ('n' stands for
-    the column labels the caller appends)."""
+    """Preferred x and y orderings for THIS operator's execution mode
+    (bsr_get_preferred_layout, bsr.h:2395-2455): the order in which
+    :func:`bsr_krylov` touches the field with ZERO data movement ('n'
+    stands for the column labels the caller appends).
+
+    * "stencil"/"gather" (AoS): lattice outermost, kron + block labels,
+      columns innermost — the canonical order the local kernels consume.
+    * "stencil_soa": columns OUTERMOST, then kron + block labels, then
+      lattice — the structure-of-arrays hot layout; fields in this order
+      enter the Pallas kernel by reshape alone (no transpose), while any
+      other order pays one physical permutation per apply.
+    """
+    if op.mode == "stencil_soa":
+        return ("n" + op.kron_d + op.blk_d + op.lat_d,
+                "n" + op.kron_i + op.blk_i + op.lat_i)
     ox = op.lat_d + op.kron_d + op.blk_d + "n"
     oy = op.lat_i + op.kron_i + op.blk_i + "n"
     return ox, oy
+
+
+def bsr_allowed_layouts(op: BSROperator) -> dict:
+    """Which field layouts each execution mode runs and at what cost —
+    the SpMMAllowedLayout negotiation analog (bsr.h:255-260, consumed by
+    bsr_get_preferred_layout at bsr.h:2395-2455).  Unlike the reference's
+    backends (MKL/cuSPARSE accept exactly one (x, y) combination and the
+    caller must reorder), every mode here accepts ANY permutation — the
+    engine inserts the reorder itself — so the contract is expressed as
+    cost tiers rather than hard rejections:
+
+      ``preferred``  the unique zero-copy (ox, oy) pair for this mode
+      ``zero_copy``  all (ox, oy) pairs executed without data movement
+                     (adjacent kron/block label merges are free reshapes)
+      ``any_order``  True: other permutations are legal but pay one
+                     physical transpose per side per apply
+    """
+    pref = bsr_get_preferred_layout(op)
+    return {"mode": op.mode, "preferred": pref,
+            "zero_copy": (pref,), "any_order": True}
 
 
 def _roll_lat(x, offset, nlat):
@@ -692,20 +724,59 @@ def bsr_krylov(
             power = y.shape[oy.index(okr)]
     oy_data = "".join(c for c in oy if c != okr)
 
-    # canonicalize x: [*lat_d, KD?, BD, N]
-    canon_x = op.lat_d + op.kron_d + op.blk_d + cols
-    xc = local_permute(x, ox, canon_x)
-    nlat = len(op.dim_d)
-    lat_shape = xc.shape[:nlat]
+    # SoA-native ZERO-COPY fast path (the bsr_get_preferred_layout
+    # contract, bsr.h:2395-2455): when the caller's ox already matches
+    # the SoA hot order (columns, kron+block labels, lattice), the field
+    # enters the Pallas kernel by adjacent-axis reshape alone — no
+    # transpose in, and none out when oy matches too.  Any other order
+    # pays one physical permutation per side, as before.
+    soa_native = (op.mode == "stencil_soa"
+                  and ox == cols + op.kron_d + op.blk_d + op.lat_d)
     KD = volume(op.kd) if op.kron is not None else 1
     BD = volume(op.bd)
-    Ncols = volume(xc.shape[nlat + len(op.kron_d) + len(op.blk_d):])
-    if op.kron is not None:
-        xc = _reshape(xc, lat_shape + (KD, BD, Ncols))
-    else:
-        xc = _reshape(xc, lat_shape + (BD, Ncols))
+    if soa_native:
+        from .ops.stencil_pallas import soa_to_aos
 
-    if op.mode == "stencil_soa":
+        xv = x if cplx.is_carray(x) else cplx.CArray(x, jnp.zeros_like(x))
+        ncl = len(cols)
+        col_shape = tuple(xv.re.shape[:ncl])
+        lat_shape_d = tuple(
+            xv.re.shape[ncl + len(op.kron_d) + len(op.blk_d):])
+        Ncols = volume(col_shape)
+        xc = cplx.cmap(
+            lambda a: a.reshape((Ncols, KD * BD) + lat_shape_d), xv)
+        ki_v = volume(op.ki) if op.kron is not None else 1
+        bi_v = volume(op.bi)
+
+        def apply_fn(o, v):
+            return apply_stencil_soa(o, v)
+
+        def to_user(yc):
+            # yc [N, KI*BI, *lat_i] -> user oy_data order
+            ki_shape = tuple(op.ki) if op.kron is not None else ()
+            if oy_data == cols + op.kron_i + op.blk_i + op.lat_i:
+                return cplx.cmap(lambda a: a.reshape(
+                    col_shape + ki_shape + tuple(op.bi) + tuple(op.dim_i)),
+                    yc)
+            y_aos = soa_to_aos(yc, len(op.dim_i), ki_v, bi_v)
+            shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + col_shape
+            canon_y = op.lat_i + op.kron_i + op.blk_i + cols
+            return local_permute(_reshape(y_aos, shape), canon_y, oy_data)
+    else:
+        # canonicalize x: [*lat_d, KD?, BD, N]
+        canon_x = op.lat_d + op.kron_d + op.blk_d + cols
+        xc = local_permute(x, ox, canon_x)
+        nlat = len(op.dim_d)
+        lat_shape = xc.shape[:nlat]
+        Ncols = volume(xc.shape[nlat + len(op.kron_d) + len(op.blk_d):])
+        if op.kron is not None:
+            xc = _reshape(xc, lat_shape + (KD, BD, Ncols))
+        else:
+            xc = _reshape(xc, lat_shape + (BD, Ncols))
+
+    if soa_native:
+        pass
+    elif op.mode == "stencil_soa":
         from .ops.stencil_pallas import aos_to_soa, soa_to_aos
 
         ki_v = volume(op.ki) if op.kron is not None else 1
@@ -741,14 +812,15 @@ def bsr_krylov(
         cur = apply_fn(op, cur)  # [*lat_i, KI?, BI, N]
         outs.append(cur)
 
-    def to_user(yc):
-        # yc [*lat_i, KI?, BI, N] -> user oy_data order
-        ki_shape = tuple(op.ki) if op.kron is not None else ()
-        shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
-            x.shape[ox.index(c)] for c in cols
-        )
-        canon_y = op.lat_i + op.kron_i + op.blk_i + cols
-        return local_permute(_reshape(yc, shape), canon_y, oy_data)
+    if not soa_native:
+        def to_user(yc):
+            # yc [*lat_i, KI?, BI, N] -> user oy_data order
+            ki_shape = tuple(op.ki) if op.kron is not None else ()
+            shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
+                x.shape[ox.index(c)] for c in cols
+            )
+            canon_y = op.lat_i + op.kron_i + op.blk_i + cols
+            return local_permute(_reshape(yc, shape), canon_y, oy_data)
 
     from .ops.copy import _is_static
 

@@ -37,7 +37,8 @@ from .wilson import _inner, apply_wilson, apply_wilson_dagger
 __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
            "two_grid_preconditioner", "symmetric_two_grid_preconditioner",
            "two_grid_error_contraction", "chebyshev_smoother",
-           "build_hierarchy", "vcycle_preconditioner"]
+           "build_hierarchy", "vcycle_preconditioner",
+           "build_prolongator_chiral", "mg_preconditioner_d"]
 
 
 def _blk_shape(op: BSROperator) -> Tuple[int, ...]:
@@ -194,11 +195,17 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
 
     def prec(r):
         rc = _restrict(P, r, block, n_blk=len(blk))
-        flat = cplx.cmap(lambda a: a.reshape(M), rc)
+        # optional trailing column axis (multi-RHS): the dense coarse
+        # solve batches all N columns through ONE cho_solve — the
+        # K=ndir*Nc GEMMs and the triangular solves gain a factor-N
+        # arithmetic intensity (the xgemm_batch_strided regime,
+        # blas.h:662-812)
+        tail = rc.re.shape[5:]
+        flat = cplx.cmap(lambda a: a.reshape((M,) + tail), rc)
         sol2 = jax.scipy.linalg.cho_solve(
-            chol, jnp.concatenate([flat.re, flat.im]))
-        c = cplx.CArray(sol2[:M].reshape(clat + (K,)),
-                        sol2[M:].reshape(clat + (K,)))
+            chol, jnp.concatenate([flat.re, flat.im], axis=0))
+        c = cplx.CArray(sol2[:M].reshape(clat + (K,) + tail),
+                        sol2[M:].reshape(clat + (K,) + tail))
         x = _prolong(P, c, block, sc=blk)
         if omega:
             ax = A(x)
@@ -332,6 +339,127 @@ def two_grid_error_contraction(op: BSROperator, P, A_c, block=(2, 2, 2, 2),
     corr = prec(A(e))
     e_new = cplx.CArray(e.re - corr.re, e.im - corr.im)
     return float(jnp.sqrt(_inner(e_new, e_new) / _inner(e, e)))
+
+
+def build_prolongator_chiral(op: BSROperator, block=(2, 2, 2, 2),
+                             K: int = 4, setup_iters: int = 8, key=0):
+    """Chiral-doubled near-null prolongator for multigrid on the
+    UNSQUARED operator D (the production lattice-QCD design: multigrid
+    preconditions D directly inside a flexible outer solver — the
+    squared D^H D's spectrum is too dense near zero for a fixed-size
+    coarse space to pay, measured in experiments/mg_wallclock.py).
+
+    K random vectors are smoothed toward the near-kernel (of D^H D —
+    the right-singular space, which is D's near-kernel too), then each
+    is SPLIT into its two chiralities before aggregation: gamma5 is
+    diagonal (+1, +1, -1, -1) in the DeGrand-Rossi basis
+    (wilson.gamma_matrices), so the split just zeroes spin halves.  The
+    doubling makes the coarse space gamma5-compatible: P^H gamma5 P is
+    again a diagonal +-1, and A_c = P^H D P inherits
+    gamma5-Hermiticity — the structure that lets the coarse correction
+    act on D's signed low modes instead of washing them out.  Returns
+    CArray [*clat, dof, 2K] with block-orthonormal columns (the chiral
+    halves have disjoint spin support, so QR never mixes them).
+    Reference analog: the multigrid setup consumers run over bsr_krylov
+    handles (bsr.h:2353) with coarse operators in the create_bsr regime
+    (bsr.h:2287)."""
+    lat = tuple(op.dim_d)
+    blk = _blk_shape(op)
+    if len(blk) != 2 or blk[0] != 4:
+        raise ValueError("chiral doubling needs a 4-spinor operator")
+    rng = np.random.default_rng(key)
+    shape = lat + blk + (K,)
+    v = cplx.CArray(jnp.asarray(rng.standard_normal(shape)),
+                    jnp.asarray(rng.standard_normal(shape)))
+
+    def A(x):
+        return _level_apply(op, x, normal=True)
+
+    from ..solvers import power_iteration
+
+    lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v), iters=20)
+    omega = 0.8 / jnp.maximum(lam, 1e-30)
+    for _ in range(setup_iters):
+        av = A(v)
+        v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+
+    # chiral doubling: [..., 4, 3, K] -> [..., 4, 3, 2K] with the upper
+    # (spins 0:2) and lower (spins 2:4) halves in separate columns
+    def double(a):
+        up = a.at[..., 2:, :, :].set(0.0)
+        dn = a.at[..., :2, :, :].set(0.0)
+        return jnp.concatenate([up, dn], axis=-1)
+
+    w = cplx.cmap(double, v)
+    agg = _aggregate(w, block, n_blk=len(blk))   # [*clat, dof, 2K]
+    a_np = np.asarray(agg.re) + 1j * np.asarray(agg.im)
+    q, _ = np.linalg.qr(a_np.reshape(-1, a_np.shape[-2], a_np.shape[-1]))
+    q = q.reshape(a_np.shape[:4] + q.shape[-2:])
+    return cplx.CArray(jnp.asarray(q.real), jnp.asarray(q.imag))
+
+
+def mg_preconditioner_d(op: BSROperator, P: cplx.CArray,
+                        A_c: Optional[cplx.CArray] = None,
+                        block=(2, 2, 2, 2), smooth_steps: int = 4):
+    """V(1,1)-style multigrid cycle on the UNSQUARED operator D, for use
+    as the flexible right preconditioner of :func:`solvers.fgcr` —
+    the production QCD multigrid shape (outer flexible Krylov + MG on D;
+    driven over bsr_krylov-class applies in reference terms, bsr.h:2353).
+
+        x1 = S r;   x2 = x1 + P A_c^{-1} P^H (r - D x1)
+        M r = x2 + S (r - D x2)
+
+    The smoother S is ``smooth_steps`` un-restarted GCR steps on D (a
+    residual-minimizing polynomial — safe for non-Hermitian D where
+    Richardson needs spectral bounds that do not exist).  The coarse
+    matrix A_c = P^H D P (gamma5-Hermitian but NOT Hermitian) is solved
+    exactly through an LU of its real embedding, factorized once.
+    Cost per application: 2 * smooth_steps + 2 fine D-applies + one
+    coarse triangular solve.  Columns-batched: a trailing RHS axis rides
+    every stage (multi-RHS mode).  Pass ``A_c`` to reuse a
+    :func:`coarse_matrix` result (normal=False); built here otherwise.
+    """
+    from ..solvers import fgcr
+
+    if A_c is None:
+        A_c = coarse_matrix(op, P, block, normal=False)
+    M = A_c.shape[0]
+    # real embedding of the NON-Hermitian coarse matrix: LU, not Cholesky
+    a2 = jnp.block([[A_c.re, -A_c.im], [A_c.im, A_c.re]])
+    lu = jax.scipy.linalg.lu_factor(a2)
+    clat = P.shape[:4]
+    K2 = P.shape[-1]
+    blk = _blk_shape(op)
+    n_blk = len(blk)
+
+    def D(x):
+        return _level_apply(op, x, normal=False)
+
+    def prec(r):
+        has_cols = r.re.ndim == 4 + n_blk + 1
+
+        def S(t):
+            return fgcr(D, t, tol=0.0, maxiter=smooth_steps,
+                        restart=smooth_steps, cols=has_cols)[0]
+
+        x1 = S(r)
+        dx1 = D(x1)
+        r1 = cplx.CArray(r.re - dx1.re, r.im - dx1.im)
+        rc = _restrict(P, r1, block, n_blk=n_blk)
+        tail = rc.re.shape[5:]
+        flat = cplx.cmap(lambda a: a.reshape((M,) + tail), rc)
+        sol = jax.scipy.linalg.lu_solve(
+            lu, jnp.concatenate([flat.re, flat.im], axis=0))
+        c = cplx.CArray(sol[:M].reshape(clat + (K2,) + tail),
+                        sol[M:].reshape(clat + (K2,) + tail))
+        pc = _prolong(P, c, block, sc=blk)
+        x2 = cplx.CArray(x1.re + pc.re, x1.im + pc.im)
+        dx2 = D(x2)
+        r2 = cplx.CArray(r.re - dx2.re, r.im - dx2.im)
+        s2 = S(r2)
+        return cplx.CArray(x2.re + s2.re, x2.im + s2.im)
+
+    return prec
 
 
 def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,

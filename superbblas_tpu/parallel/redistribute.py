@@ -267,10 +267,15 @@ class RedistributionPlan:
                     for ff, fs in frags:
                         add_fragment(i, j, ff, fs)
 
-        # compact piece storage: [P, 3, nd] int32 per pair (src_from_local,
-        # dst_from_local, shape) — drop empty lists
+        # compact piece storage: [P, 3, nd] per pair (src_from_local,
+        # dst_from_local, shape) — drop empty lists; int32 when the
+        # coordinates fit, else int64 (tensor.h:1113-1129 IndexType
+        # widening for axes past 2^31)
+        cmax = max((max(dim), *(max(s) for _, s in src.boxes),
+                    *(max(s) for _, s in dst.boxes)), default=1)
+        pdt = np.int32 if cmax < np.iinfo(np.int32).max else np.int64
         self.pair_pieces = {
-            k: np.asarray(v, dtype=np.int32)
+            k: np.asarray(v, dtype=pdt)
             for k, v in self.pair_pieces.items() if v}
 
         # common block size: gcd of every piece's last-axis extent — the
@@ -289,10 +294,16 @@ class RedistributionPlan:
             vols = np.prod(pieces[:, 2, :].astype(np.int64), axis=1)
             counts_e[i, j] = int(vols.sum())
             counts[i, j] = int((vols // B).sum())
-        if counts.max(initial=0) >= np.iinfo(np.int32).max:
-            raise ValueError("plan exceeds int32 run indexing")
         assert (counts_e == counts * B).all()   # piece vols are multiples of B
-        self.counts = counts.astype(np.int32)
+        # IndexType widening (the reference's automatic int -> size_t
+        # switch for giant tensors, tensor.h:1113-1129): run counts past
+        # int32 keep 64-bit HOST metadata — the plan still builds; each
+        # executor picks its device index width adaptively
+        # (_materialize_runs/dense_idx) and raises only where a single
+        # exchanged message itself would overflow 32-bit offsets.
+        cdt = (np.int32 if counts.max(initial=0) < np.iinfo(np.int32).max
+               else np.int64)
+        self.counts = counts.astype(cdt)
 
         # element masks (the reference's mask-aware plans,
         # dist.h:1852-1916 + the pack/unpack index filtering at
@@ -323,7 +334,10 @@ class RedistributionPlan:
                     self._masked[(i, j)] = (si[sel], di[sel])
                     counts[i, j] = int(sel.sum())
             self.block = B = 1
-            self.counts = counts.astype(np.int32)
+            cdt = (np.int32
+                   if counts.max(initial=0) < np.iinfo(np.int32).max
+                   else np.int64)
+            self.counts = counts.astype(cdt)
             pack = "runs"
 
         # executor strategy: static box copies (any alignment, copy
@@ -513,8 +527,10 @@ class RedistributionPlan:
         tiled-all_to_all executor (pad = src_vol / dst_vol)."""
         if self._dense is None:
             n, s = self.n, self.pair_cap
-            pack = np.full((n, n, s), self.src_vol, dtype=np.int32)
-            unpack = np.full((n, n, s), self.dst_vol, dtype=np.int32)
+            idt = (np.int32 if max(self.src_vol, self.dst_vol)
+                   < np.iinfo(np.int32).max else np.int64)
+            pack = np.full((n, n, s), self.src_vol, dtype=idt)
+            unpack = np.full((n, n, s), self.dst_vol, dtype=idt)
             send_off, recv_off = self._pair_slices()
             for i in range(n):
                 for j in range(n):
@@ -540,25 +556,31 @@ class RedistributionPlan:
             return cached
         B = self.block
         rows_n = self.dst_vol // B
-        oob = np.int32(2 ** 30)
-        inv = np.full((self.n, rows_n), oob, dtype=np.int32)
-        _, recv_off = self._pair_slices()
         s = self.pair_cap
+        # slot values reach n * pair_cap (dense layout); widen past int32
+        # and keep the out-of-range sentinel STRICTLY beyond the largest
+        # real slot so the fill-mode take never aliases a valid row
+        max_slot = self.n * s
+        idt = (np.int32 if max_slot + 1 < np.iinfo(np.int32).max
+               else np.int64)
+        oob = idt(max_slot + 1)
+        inv = np.full((self.n, rows_n), oob, dtype=idt)
+        _, recv_off = self._pair_slices()
         for j in range(self.n):
             tot = int(self.counts[:, j].sum())
             if tot == 0:
                 continue
             rows = self.recv_starts[j, :tot] // B
             if dense:
-                slots = np.empty(tot, np.int32)
+                slots = np.empty(tot, idt)
                 for i in range(self.n):
                     c = int(self.counts[i, j])
                     if c == 0:
                         continue
                     o = int(recv_off[i, j])
-                    slots[o:o + c] = i * s + np.arange(c, dtype=np.int32)
+                    slots[o:o + c] = i * s + np.arange(c, dtype=idt)
             else:
-                slots = np.arange(tot, dtype=np.int32)
+                slots = np.arange(tot, dtype=idt)
             inv[j, rows] = slots
         setattr(self, attr, inv)
         return inv
@@ -897,12 +919,32 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
     )(local_stack)
 
 
+def _as_device_idx(a: np.ndarray):
+    """Move plan index metadata to device, refusing the silent int64 ->
+    int32 downcast jax performs with x64 disabled (giant-tensor plans
+    carry 64-bit offsets — the reference's int -> size_t IndexType
+    switch, tensor.h:1113-1129)."""
+    if a.dtype == np.int64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "plan offsets exceed int32 indexing; enable jax_enable_x64 "
+            "to execute 64-bit-indexed redistribution plans")
+    return jnp.asarray(a)
+
+
 def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
              method: str):
     """Run one plan inside a shard_map over ``axis``."""
     if plan.pack == "boxes":
         return _execute_boxes(plan, local_stack, mesh, axis, method)
     n, B = plan.n, plan.block
+    if plan.counts.max(initial=0) >= np.iinfo(np.int32).max:
+        # the PLAN builds with 64-bit metadata (tensor.h:1113-1129
+        # analog); the runs executor's per-peer message sizes are
+        # 32-bit on device — a single >=2^31-run message cannot be
+        # exchanged in one shot
+        raise ValueError(
+            "a single peer message exceeds int32 run counts; split the "
+            "redistribution (smaller boxes) or use pack='boxes'")
     counts = jnp.asarray(plan.counts.astype(np.int32))
     copy_add = plan.copy_add
     dst_vol, dst_shape = plan.dst_vol, plan.dst_shape
@@ -935,8 +977,8 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
             exchange = _ft.partial(_exchange_ragged_emulated,
                                    pair_cap=plan.pair_cap)
-        send_starts = jnp.asarray(plan.send_starts)    # [n, cap_send]
-        recv_starts = jnp.asarray(
+        send_starts = _as_device_idx(plan.send_starts)  # [n, cap_send]
+        recv_starts = _as_device_idx(
             plan.recv_inverse(dense=False) if inv_take
             else plan.recv_starts)
 
@@ -960,14 +1002,14 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
     # method == "dense": per-pair slots padded to the max pair run count
     pack_np, unpack_np = plan.dense_idx()
     s = plan.pair_cap
-    pack_idx = jnp.asarray(pack_np)        # [n, n, s]
+    pack_idx = _as_device_idx(pack_np)     # [n, n, s]
     spec_idx = PartitionSpec(axis, None, None)
 
     if inv_take:
-        unpack_idx = jnp.asarray(plan.recv_inverse(dense=True))  # [n, rows]
+        unpack_idx = _as_device_idx(plan.recv_inverse(dense=True))  # [n, rows]
         spec_unpack = PartitionSpec(axis, None)
     else:
-        unpack_idx = jnp.asarray(unpack_np)        # [n, n, s]
+        unpack_idx = _as_device_idx(unpack_np)     # [n, n, s]
         spec_unpack = PartitionSpec(None, axis, None)
 
     def body(local, pidx, uidx):

@@ -19,23 +19,33 @@ import jax.numpy as jnp
 
 from . import cplx
 
-__all__ = ["cg", "cgne", "bicgstab", "pcg", "power_iteration", "lanczos",
-           "ritz_extremes", "refined_solve"]
+__all__ = ["cg", "cgne", "bicgstab", "pcg", "fgcr", "power_iteration",
+           "lanczos", "ritz_extremes", "refined_solve"]
 
 
-def _inner_c(a, b):
-    """<a, b> (complex) as a (re, im) pair; psum-reduced when sharded."""
+def _inner_c(a, b, cols: bool = False):
+    """<a, b> (complex) as a (re, im) pair; psum-reduced when sharded.
+    With ``cols`` the reduction keeps the LAST axis (per-column scalars
+    for multi-RHS solves)."""
     if cplx.is_carray(a):
-        re = jnp.sum(a.re * b.re + a.im * b.im)
-        im = jnp.sum(a.re * b.im - a.im * b.re)
-        return re, im
-    return jnp.sum(a * b), jnp.zeros(())
+        re = a.re * b.re + a.im * b.im
+        im = a.re * b.im - a.im * b.re
+    else:
+        re, im = a * b, jnp.zeros_like(a)
+    ax = tuple(range(re.ndim - 1)) if cols else None
+    return jnp.sum(re, axis=ax), jnp.sum(im, axis=ax)
 
 
-def _inner_r(a, b):
+def _inner_r(a, b, cols: bool = False):
+    """Real part of <a, b>; with ``cols`` the reduction keeps the LAST
+    axis (independent per-column inner products for multi-RHS solves —
+    the scalars become (N,) vectors that broadcast against the trailing
+    column axis of the fields)."""
     if cplx.is_carray(a):
-        return jnp.sum(a.re * b.re + a.im * b.im)
-    return jnp.sum(a * b)
+        v = a.re * b.re + a.im * b.im
+    else:
+        v = a * b
+    return jnp.sum(v, axis=tuple(range(v.ndim - 1))) if cols else jnp.sum(v)
 
 
 def _axpy_c(alpha: Tuple, x, y):
@@ -65,29 +75,36 @@ def _zeros(x):
     return cplx.cmap(jnp.zeros_like, x) if cplx.is_carray(x) else jnp.zeros_like(x)
 
 
-def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
+def cg(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100,
+       cols: bool = False):
     """Conjugate gradients for Hermitian positive-definite ``A``.
 
-    Returns (x, |r|^2, iterations).  Reference analog: the solver loop
-    superbblas consumers build over bsr_krylov (bsr.h:2353) — e.g. the
-    matvec-per-iteration workload of tests/bsr_hist.cpp:17-38."""
+    Returns (x, |r|^2, iterations).  With ``cols=True`` the trailing axis
+    of ``b`` holds independent right-hand sides solved SIMULTANEOUSLY
+    with per-column step sizes (multi-RHS: one batched operator apply
+    serves N solves, raising the matvec arithmetic intensity — the
+    production deployment mode of lattice solvers); |r|^2 is then (N,)
+    and the loop runs until every column converges.  Reference analog:
+    the solver loop superbblas consumers build over bsr_krylov
+    (bsr.h:2353) — e.g. the matvec-per-iteration workload of
+    tests/bsr_hist.cpp:17-38."""
     x = _zeros(b) if x0 is None else x0
     r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
     p = r
-    rs = _inner_r(r, r)
-    bs = jnp.maximum(_inner_r(b, b), 1e-30)
+    rs = _inner_r(r, r, cols)
+    bs = jnp.maximum(_inner_r(b, b, cols), 1e-30)
 
     def cond(st):
         _, _, _, rs, k = st
-        return jnp.logical_and(k < maxiter, rs / bs > tol * tol)
+        return jnp.logical_and(k < maxiter, jnp.max(rs / bs) > tol * tol)
 
     def body(st):
         x, r, p, rs, k = st
         ap = A(p)
-        alpha = rs / jnp.maximum(_inner_r(p, ap), 1e-30)
+        alpha = rs / jnp.maximum(_inner_r(p, ap, cols), 1e-30)
         x = _axpy_c((alpha, 0.0 * alpha), p, x)
         r = _axpy_c((-alpha, 0.0 * alpha), ap, r)
-        rs_new = _inner_r(r, r)
+        rs_new = _inner_r(r, r, cols)
         beta = rs_new / jnp.maximum(rs, 1e-30)
         p = _axpy_c((beta, 0.0 * beta), p, r)
         return (x, r, p, rs_new, k + 1)
@@ -143,6 +160,59 @@ def bicgstab(A: Callable, b, x0=None, tol: float = 1e-8, maxiter: int = 100):
     st = (x, r, p, rhat, rho, jnp.zeros((), jnp.int32))
     x, r, p, rhat, rho, k = jax.lax.while_loop(cond, body, st)
     return x, _inner_r(r, r), k
+
+
+def fgcr(A: Callable, b, M: Optional[Callable] = None, x0=None,
+         tol: float = 1e-8, maxiter: int = 100, restart: int = 8,
+         cols: bool = False):
+    """Flexible restarted GCR(``restart``) for GENERAL (non-Hermitian)
+    ``A`` with an arbitrary — possibly nonlinear/varying — right
+    preconditioner ``M`` (e.g. a multigrid V-cycle on the unsquared
+    operator).  Minimizes ||b - A x|| over the preconditioned Krylov
+    space each cycle, like flexible GMRES but with the simple
+    residual-projection recurrence (the solver QCD multigrid stacks wrap
+    around their V-cycles; driven over bsr_krylov-class applies in
+    reference terms, bsr.h:2353).
+
+    Returns (x, |r|^2, iterations); ``cols=True`` solves independent
+    right-hand sides in the trailing axis simultaneously with per-column
+    projection coefficients.  One A-apply and one M-apply per iteration;
+    each restart cycle stores ``restart`` direction pairs (z_k, A z_k).
+    """
+    if M is None:
+        M = lambda r: r
+    x = _zeros(b) if x0 is None else x0
+    r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
+    rs = _inner_r(r, r, cols)
+    bs = jnp.maximum(_inner_r(b, b, cols), 1e-30)
+
+    def cond(st):
+        _, _, rs, k = st
+        return jnp.logical_and(k < maxiter, jnp.max(rs / bs) > tol * tol)
+
+    def body(st):
+        x, r, rs, k = st
+        zs, ws = [], []
+        for _ in range(restart):
+            z = M(r)
+            w = A(z)
+            for zi, wi in zip(zs, ws):
+                beta = _inner_c(wi, w, cols)
+                w = _axpy_c((-beta[0], -beta[1]), wi, w)
+                z = _axpy_c((-beta[0], -beta[1]), zi, z)
+            nrm = jnp.sqrt(jnp.maximum(_inner_r(w, w, cols), 1e-60))
+            w = _scale_c((1.0 / nrm, 0.0 * nrm), w)
+            z = _scale_c((1.0 / nrm, 0.0 * nrm), z)
+            zs.append(z)
+            ws.append(w)
+            alpha = _inner_c(w, r, cols)
+            x = _axpy_c(alpha, z, x)
+            r = _axpy_c((-alpha[0], -alpha[1]), w, r)
+        return (x, r, _inner_r(r, r, cols), k + restart)
+
+    st = (x, r, rs, jnp.zeros((), jnp.int32))
+    x, r, rs, k = jax.lax.while_loop(cond, body, st)
+    return x, rs, k
 
 
 def power_iteration(A: Callable, x0, iters: int = 50):
@@ -244,35 +314,39 @@ def refined_solve(A: Callable, inner_solve: Callable, b, cycles: int = 3):
 
 
 def pcg(A: Callable, M: Callable, b, x0=None, tol: float = 1e-8,
-        maxiter: int = 100):
+        maxiter: int = 100, cols: bool = False):
     """Preconditioned CG for Hermitian PD ``A`` with SPD preconditioner
     ``M`` (e.g. the two-grid cycle of models/multigrid.py).  Returns
-    (x, |r|^2, iterations).  Reference analog: the preconditioned solver
-    loops Chroma's multigrid stacks drive over bsr_krylov handles
+    (x, |r|^2, iterations).  With ``cols=True`` the trailing axis holds
+    independent right-hand sides with per-column step sizes (see
+    :func:`cg`); every V-cycle then smooths and coarse-solves N columns
+    in one batched apply — the multi-RHS mode that raises the coarse
+    GEMM arithmetic intensity.  Reference analog: the preconditioned
+    solver loops Chroma's multigrid stacks drive over bsr_krylov handles
     (bsr.h:2353)."""
     x = _zeros(b) if x0 is None else x0
     r = _axpy_c((-1.0, 0.0), A(x), b) if x0 is not None else b
     z = M(r)
     p = z
-    rz = _inner_r(r, z)
-    rn = _inner_r(r, r)
-    bs = jnp.maximum(_inner_r(b, b), 1e-30)
+    rz = _inner_r(r, z, cols)
+    rn = _inner_r(r, r, cols)
+    bs = jnp.maximum(_inner_r(b, b, cols), 1e-30)
 
     def cond(st):
         x, r, z, p, rz, rn, k = st
-        return jnp.logical_and(k < maxiter, rn / bs > tol * tol)
+        return jnp.logical_and(k < maxiter, jnp.max(rn / bs) > tol * tol)
 
     def body(st):
         x, r, z, p, rz, rn, k = st
         ap = A(p)
-        alpha = rz / jnp.maximum(_inner_r(p, ap), 1e-30)
+        alpha = rz / jnp.maximum(_inner_r(p, ap, cols), 1e-30)
         x = _axpy_c((alpha, 0.0 * alpha), p, x)
         r = _axpy_c((-alpha, 0.0 * alpha), ap, r)
         z = M(r)
-        rz_new = _inner_r(r, z)
+        rz_new = _inner_r(r, z, cols)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = _axpy_c((beta, 0.0 * beta), p, z)
-        return (x, r, z, p, rz_new, _inner_r(r, r), k + 1)
+        return (x, r, z, p, rz_new, _inner_r(r, r, cols), k + 1)
 
     st = (x, r, z, p, rz, rn, jnp.zeros((), jnp.int32))
     x, r, z, p, rz, rn, k = jax.lax.while_loop(cond, body, st)

@@ -487,3 +487,54 @@ def test_open_boundary_wilson_runs_stencil_path():
         for k in range(int(ii[s])):
             want[s] += vals[s][k] @ x[tuple(jj[s][k])]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_soa_native_layout_zero_copy():
+    """bsr_get_preferred_layout is mode-aware (SpMMAllowedLayout analog,
+    bsr.h:255-260, 2395-2455): for SoA operators the preferred order is
+    columns-outermost, and bsr_krylov fed fields in that order takes the
+    zero-copy fast path — bit-identical to the AoS order (same kernel),
+    with the boundary transposes gone from the lowered module."""
+    from superbblas_tpu import cplx
+    from superbblas_tpu.models import wilson_operator
+
+    lat = (4, 4, 8, 128)
+    op = wilson_operator(lat, mass=0.2, key=3, dtype=jnp.complex64,
+                         layout="soa")
+    px, py = B.bsr_get_preferred_layout(op)
+    assert px == "n" + op.kron_d + op.blk_d + op.lat_d
+    allowed = B.bsr_allowed_layouts(op)
+    assert allowed["preferred"] == (px, py) and allowed["any_order"]
+
+    rng = np.random.default_rng(0)
+    shp_aos = lat + (4, 3, 2)
+    x_aos = cplx.CArray(
+        jnp.asarray(rng.standard_normal(shp_aos), jnp.float32),
+        jnp.asarray(rng.standard_normal(shp_aos), jnp.float32))
+    ox_aos = op.lat_d + op.kron_d + op.blk_d + "n"
+    y_aos = B.bsr_krylov(1.0, op, x_aos, ox_aos)
+
+    perm = [ox_aos.index(c) for c in px]
+    x_soa = cplx.cmap(lambda a: jnp.transpose(a, perm), x_aos)
+    y_soa = B.bsr_krylov(1.0, op, x_soa, px, oy=py)
+    oy_def = op.lat_i + op.kron_i + op.blk_i + "n"
+    perm_y = [py.index(c) for c in oy_def]
+    y_back = cplx.cmap(lambda a: jnp.transpose(a, perm_y), y_soa)
+    np.testing.assert_array_equal(np.asarray(y_back.re),
+                                  np.asarray(y_aos.re))
+    np.testing.assert_array_equal(np.asarray(y_back.im),
+                                  np.asarray(y_aos.im))
+
+    # okr powers ride the same fast path
+    y_pow = B.bsr_krylov(1.0, op, x_soa, px, oy="p" + py, okr="p", power=2)
+    y2 = B.bsr_krylov(1.0, op, y_soa, px, oy=py)
+    np.testing.assert_allclose(np.asarray(y_pow.re[1]),
+                               np.asarray(y2.re), atol=1e-4)
+
+    # the boundary transposes are gone from the lowered module
+    import jax as _jax
+    n_fast = _jax.jit(lambda v: B.bsr_krylov(1.0, op, v, px, oy=py)) \
+        .lower(x_soa).as_text().count("stablehlo.transpose")
+    n_slow = _jax.jit(lambda v: B.bsr_krylov(1.0, op, v, ox_aos)) \
+        .lower(x_aos).as_text().count("stablehlo.transpose")
+    assert n_fast <= n_slow - 4, (n_fast, n_slow)

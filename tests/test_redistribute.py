@@ -669,3 +669,23 @@ def test_components_partition_redistribution(mesh1d):
     # and back
     got2 = run_case(mesh1d, dst, src, x)
     np.testing.assert_array_equal(got2, x)
+
+
+def test_giant_plan_int64_metadata():
+    """IndexType widening (the reference's automatic int -> size_t switch
+    for giant tensors, tensor.h:1113-1129): a plan whose per-pair run
+    counts exceed int32 BUILDS with 64-bit host metadata instead of
+    raising; only executing a single >=2^31-run message raises, with a
+    clear error."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (2 ** 32,)
+    src = Partition(dim=dim, boxes=(((0,), dim),))
+    dst = Partition(dim=dim, boxes=(((1,), dim),))   # unaligned: B = 1
+    plan = R.RedistributionPlan(src, dst, "copy")
+    assert plan.block == 1
+    assert plan.counts.dtype == np.int64
+    assert int(plan.counts[0, 0]) == 2 ** 32
+    assert plan.counts_elems[0, 0] == 2 ** 32
+    # the boxes packer carries piece descriptors (no run materialization)
+    assert plan.pack == "boxes"

@@ -189,3 +189,52 @@ def test_refined_solve_bf16_inner_reaches_f32_accuracy():
     rel_ref = float(rs_ref) / bnorm
     # the bf16-inner refined solve must land in the same residual decade
     assert rel_mix < max(rel_ref * 10, 1e-8), (rel_mix, rel_ref)
+
+
+def test_cg_multi_rhs_matches_per_column():
+    """cols=True solves independent right-hand sides simultaneously with
+    per-column step sizes: each column must match its own single-RHS
+    solve (the multi-RHS batched deployment mode of lattice solvers; one
+    batched apply serves N solves — the xgemm_batch_strided regime the
+    reference's consumers drive, blas.h:662-812)."""
+    lat, nc, N = (4, 4), 6, 3
+    op = coarse_operator(lat, block_size=nc, mass=8.0, key=2,
+                         dtype=jnp.complex128)
+    rng = np.random.default_rng(7)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (nc, N))),
+                    jnp.asarray(rng.standard_normal(lat + (nc, N))))
+    A = lambda v: apply_coarse(op, v)
+    xm, rs, k = solvers.cg(A, b, tol=1e-10, maxiter=500, cols=True)
+    assert np.asarray(rs).shape == (N,)
+    for j in range(N):
+        bj = cplx.cmap(lambda a: a[..., j:j + 1], b)
+        xj, _, _ = solvers.cg(A, bj, tol=1e-10, maxiter=500)
+        d = float(jnp.max(jnp.abs(xm.re[..., j] - xj.re[..., 0]))
+                  + jnp.max(jnp.abs(xm.im[..., j] - xj.im[..., 0])))
+        assert d < 1e-7, (j, d)
+
+
+def test_pcg_multi_rhs_vcycle():
+    """Multi-RHS pcg through the (column-batched) two-grid cycle: all
+    columns converge in essentially the single-RHS iteration count, and
+    the answers match plain CG (the multi-RHS multigrid mode — every
+    V-cycle smooths and coarse-solves N columns in one batched apply)."""
+    from superbblas_tpu.models.multigrid import (
+        _A_normal, build_prolongator, coarse_matrix,
+        symmetric_two_grid_preconditioner)
+
+    lat, N = (4, 4, 4, 4), 3
+    op = wilson_operator(lat, mass=-1.8, key=3, dtype=jnp.complex128)
+    A = lambda u: _A_normal(op, u)
+    rng = np.random.default_rng(11)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3, N))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3, N))))
+    P = build_prolongator(op, K=4, setup_iters=8)
+    Ac = coarse_matrix(op, P)
+    M = symmetric_two_grid_preconditioner(op, P, Ac, cheby_degree=4)
+    xp, rsp, itp = solvers.pcg(A, M, b, tol=1e-8, maxiter=600, cols=True)
+    xc, _, itc = solvers.cg(A, b, tol=1e-8, maxiter=6000, cols=True)
+    err = float(jnp.max(jnp.abs(xp.re - xc.re))
+                + jnp.max(jnp.abs(xp.im - xc.im)))
+    assert err < 1e-4, err
+    assert int(itp) * 4 < int(itc), (int(itp), int(itc))
