@@ -1,22 +1,32 @@
 """Multigrid WALL-CLOCK benchmark (round-3 VERDICT item 3).
 
-Round 2 proved the Chebyshev-smoothed two-grid cycle cuts pcg
-ITERATIONS 6-8x on near-critical operators but recorded no end-to-end
-seconds.  This experiment times the full solve on real hardware:
+Round 2 proved iteration cuts but recorded no end-to-end seconds.  This
+experiment times full solves of D x = b on real hardware:
 
-    plain CG        on A = D^H D      (the baseline every QCD stack runs)
-    V(1,1)-pcg      symmetric two-grid, Chebyshev(d) smoother
+    CGNE       CG on D^H D               (the baseline every stack runs;
+                                          2 D-applies per iteration)
+    MG-FGCR    flexible GCR on D, right-preconditioned by the chiral
+               multigrid V-cycle (models.multigrid.mg_preconditioner_d;
+               2*smooth_steps + 3 D-applies per iteration)
+    HPCG       (--hermitian) pcg on D^H D with the Chebyshev-smoothed
+               symmetric two-grid cycle — measured SLOWER than CGNE in
+               D-applies at every 4^4 config swept (iter cut 3.4-12.5x
+               never beats the 7-19x per-iteration cost; the squared
+               spectrum is too dense near zero), kept for the record.
 
-both as ONE jitted lax.while_loop (no per-iteration dispatch), multi-RHS
-(``cols=True``: N right-hand sides per solve — the production deployment
-mode; the coarse cho_solve and every smoother apply batch over columns,
-the xgemm_batch_strided regime of blas.h:662-812).
+Everything runs as ONE jitted lax.while_loop (no per-iteration
+dispatch), multi-RHS (``cols=True``) — the production deployment mode.
+Setup (prolongator + coarse LU) is timed separately: it is amortized
+over the many solves of an HMC trajectory / analysis campaign.
 
-Setup (prolongator + Galerkin + Cholesky) is timed separately: it is
-amortized over the many solves of an HMC trajectory / analysis campaign.
+Measured (CPU, 4^4, c128, mass sweep, K=4 ss=4): MG-FGCR reaches the
+CGNE answer with 2.2-2.8x fewer D-applies (mass -1.93..-1.98); the
+wall-clock ratio on TPU tracks the D-apply ratio once volumes clear the
+dispatch floor.
 
 Usage:  python experiments/mg_wallclock.py [--cpu] [--lat 8 8 8 8]
-            [--mass -0.58] [--ncols 8] [--tol 1e-5] [--cheby 4]
+            [--mass -0.58] [--ncols 8] [--tol 1e-5] [--smooth 4]
+            [--K 4] [--hermitian]
 """
 import argparse
 import json
@@ -32,11 +42,15 @@ p.add_argument("--lat", type=int, nargs=4, default=[8, 8, 8, 8])
 p.add_argument("--mass", type=float, default=-0.58)
 p.add_argument("--ncols", type=int, default=8)
 p.add_argument("--tol", type=float, default=1e-5)
-p.add_argument("--cheby", type=int, default=4)
-p.add_argument("--theta", type=float, default=30.0)
-p.add_argument("--K", type=int, default=8)
+p.add_argument("--smooth", type=int, default=4)
+p.add_argument("--restart", type=int, default=8)
+p.add_argument("--K", type=int, default=4)
+p.add_argument("--setup-iters", type=int, default=8)
 p.add_argument("--maxiter", type=int, default=20000)
 p.add_argument("--layout", default="aos", choices=["aos", "soa"])
+p.add_argument("--hermitian", action="store_true",
+               help="also run the Chebyshev-smoothed Hermitian pcg")
+p.add_argument("--cheby", type=int, default=4)
 args = p.parse_args()
 
 if args.cpu:
@@ -50,16 +64,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from superbblas_tpu import cplx
-from superbblas_tpu.models import wilson_operator
+from superbblas_tpu.models import wilson_operator, apply_wilson
+from superbblas_tpu.models.wilson import apply_wilson_dagger
 from superbblas_tpu.models.multigrid import (
-    _A_normal, build_prolongator, coarse_matrix,
-    symmetric_two_grid_preconditioner)
-from superbblas_tpu.solvers import cg, pcg
+    _A_normal, build_prolongator, build_prolongator_chiral, coarse_matrix,
+    mg_preconditioner_d, symmetric_two_grid_preconditioner)
+from superbblas_tpu.solvers import cg, fgcr, pcg
 
 lat = tuple(args.lat)
 dt = jnp.complex64 if not args.cpu else jnp.complex128
 op = wilson_operator(lat, mass=args.mass, key=3, dtype=dt,
                      layout=args.layout)
+D = lambda u: apply_wilson(op, u)
+Dh = lambda u: apply_wilson_dagger(op, u)
 A = lambda u: _A_normal(op, u)
 rng = np.random.default_rng(11)
 shape = lat + (4, 3, args.ncols)
@@ -68,23 +85,20 @@ b = cplx.CArray(jnp.asarray(rng.standard_normal(shape), fdt),
                 jnp.asarray(rng.standard_normal(shape), fdt))
 
 print(f"lat={lat} mass={args.mass} ncols={args.ncols} tol={args.tol} "
-      f"cheby_d={args.cheby} K={args.K} layout={args.layout} "
+      f"smooth={args.smooth} K={args.K} layout={args.layout} "
       f"platform={jax.devices()[0].platform}", flush=True)
 
 # ---- setup (amortized) ----
 t0 = time.perf_counter()
-P = build_prolongator(op, K=args.K, setup_iters=8)
-Ac = coarse_matrix(op, P)
-M = symmetric_two_grid_preconditioner(op, P, Ac, cheby_degree=args.cheby,
-                                      cheby_theta=args.theta)
-jax.block_until_ready(Ac.re)
+P = build_prolongator_chiral(op, K=args.K, setup_iters=args.setup_iters)
+M = mg_preconditioner_d(op, P, smooth_steps=args.smooth)
 t_setup = time.perf_counter() - t0
-print(f"setup: {t_setup:.1f}s (prolongator K={args.K} + Galerkin "
-      f"M={Ac.shape[0]} + Cholesky)", flush=True)
+print(f"setup: {t_setup:.1f}s (chiral prolongator 2K={2 * args.K} + "
+      f"Galerkin + LU)", flush=True)
 
 
-def timed(fn, *a, **kw):
-    jitted = jax.jit(lambda bb: fn(*a, bb, **kw))
+def timed(make):
+    jitted = jax.jit(make)
     r = jitted(b)                      # compile + first run
     jax.block_until_ready(r[0].re)
     t0 = time.perf_counter()
@@ -93,24 +107,39 @@ def timed(fn, *a, **kw):
     return r, time.perf_counter() - t0
 
 
-(xc, rsc, itc), t_cg = timed(lambda bb: cg(A, bb, tol=args.tol,
-                                           maxiter=args.maxiter, cols=True))
-rel_c = float(jnp.max(jnp.sqrt(np.asarray(rsc)))
-              / jnp.sqrt(jnp.sum(b.re**2 + b.im**2) / args.ncols))
-print(f"plain CG : {int(itc):5d} iters  {t_cg:8.2f}s   "
-      f"max|r| ratio {rel_c:.2e}", flush=True)
+(xc, rsc, itc), t_cgne = timed(
+    lambda bb: cg(A, Dh(bb), tol=args.tol, maxiter=args.maxiter, cols=True))
+print(f"CGNE     : {int(itc):5d} iters ({2 * int(itc):6d} D) "
+      f"{t_cgne:8.2f}s", flush=True)
 
-(xp, rsp, itp), t_mg = timed(lambda bb: pcg(A, M, bb, tol=args.tol,
-                                            maxiter=args.maxiter, cols=True))
-err = float(jnp.max(jnp.abs(xp.re - xc.re)) + jnp.max(jnp.abs(xp.im - xc.im)))
-print(f"MG  pcg  : {int(itp):5d} iters  {t_mg:8.2f}s   "
-      f"vs CG err {err:.2e}", flush=True)
+(xm, rsm, itm), t_mg = timed(
+    lambda bb: fgcr(D, bb, M=M, tol=args.tol, maxiter=args.maxiter,
+                    restart=args.restart, cols=True))
+dmg = int(itm) * (2 * args.smooth + 3)
+err = float(jnp.max(jnp.abs(xm.re - xc.re)) + jnp.max(jnp.abs(xm.im - xc.im)))
+print(f"MG-FGCR  : {int(itm):5d} iters ({dmg:6d} D) {t_mg:8.2f}s   "
+      f"vs CGNE err {err:.2e}", flush=True)
 
-print(json.dumps({
-    "lat": lat, "mass": args.mass, "ncols": args.ncols,
-    "cheby": args.cheby, "K": args.K, "tol": args.tol,
-    "cg_iters": int(itc), "cg_s": round(t_cg, 3),
-    "mg_iters": int(itp), "mg_s": round(t_mg, 3),
-    "setup_s": round(t_setup, 2),
-    "iter_cut": round(int(itc) / max(int(itp), 1), 2),
-    "wallclock_speedup": round(t_cg / t_mg, 3)}), flush=True)
+out = {"lat": lat, "mass": args.mass, "ncols": args.ncols,
+       "smooth": args.smooth, "K": args.K, "tol": args.tol,
+       "cgne_iters": int(itc), "cgne_s": round(t_cgne, 3),
+       "mg_iters": int(itm), "mg_s": round(t_mg, 3),
+       "setup_s": round(t_setup, 2),
+       "d_apply_cut": round(2 * int(itc) / max(dmg, 1), 2),
+       "wallclock_speedup": round(t_cgne / t_mg, 3)}
+
+if args.hermitian:
+    t0 = time.perf_counter()
+    Ph = build_prolongator(op, K=args.K, setup_iters=args.setup_iters)
+    Ach = coarse_matrix(op, Ph)
+    Mh = symmetric_two_grid_preconditioner(op, Ph, Ach,
+                                           cheby_degree=args.cheby)
+    print(f"hermitian setup: {time.perf_counter() - t0:.1f}s", flush=True)
+    (xh, rsh, ith), t_h = timed(
+        lambda bb: pcg(A, Mh, Dh(bb), tol=args.tol, maxiter=args.maxiter,
+                       cols=True))
+    print(f"HPCG d={args.cheby}: {int(ith):5d} iters {t_h:8.2f}s", flush=True)
+    out["hpcg_iters"] = int(ith)
+    out["hpcg_s"] = round(t_h, 3)
+
+print(json.dumps(out), flush=True)

@@ -369,3 +369,79 @@ def test_symmetric_two_grid_pcg_near_critical():
     num = float(jnp.sum((xc2.re - x.re) ** 2 + (xc2.im - x.im) ** 2))
     assert num / den < 1e-10, num / den
     assert int(itc) * 3 <= int(it), (int(itc), int(it))
+
+
+def test_mg_on_unsquared_operator():
+    """Multigrid on D itself (chiral-doubled prolongator + LU coarse
+    solve + GCR smoothing) inside flexible GCR: converges to the CGNE
+    answer with several-fold fewer operator applies — the production
+    deployment shape.  Reference analog: the multigrid preconditioner
+    loops consumers drive over bsr_krylov handles (bsr.h:2353)."""
+    from superbblas_tpu.models import apply_wilson
+    from superbblas_tpu.models.wilson import apply_wilson_dagger
+    from superbblas_tpu.models.multigrid import (
+        build_prolongator_chiral, coarse_matrix, mg_preconditioner_d,
+        _A_normal)
+    from superbblas_tpu.solvers import cg, fgcr
+
+    lat = (4, 4, 4, 4)
+    op = wilson_operator(lat, mass=-1.8, key=3, dtype=jnp.complex128)
+    rng = np.random.default_rng(1)
+    N = 2
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3, N))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3, N))))
+    D = lambda u: apply_wilson(op, u)
+
+    P = build_prolongator_chiral(op, K=4, setup_iters=8)
+    # chiral structure: the doubled coarse space is gamma5-compatible —
+    # P^H gamma5 P must be diag(+1 x K, -1 x K) per aggregate
+    g5p = cplx.cmap(
+        lambda a: jnp.concatenate([a[..., :a.shape[-2] // 2, :],
+                                   -a[..., a.shape[-2] // 2:, :]], axis=-2),
+        P)  # gamma5 acts as +1 on the first half of the aggregated dof
+    # NOTE: aggregation interleaves (block sites, spin, color); gamma5 on
+    # aggregated dof is NOT a contiguous half-split, so check instead the
+    # defining property through the fine operator: columns 0..K-1 have
+    # upper-spin support only, K..2K-1 lower-spin only, verified after
+    # un-aggregation.
+    from superbblas_tpu.models.multigrid import _unaggregate
+    K2 = P.shape[-1]
+    K = K2 // 2
+    cols = _unaggregate(
+        cplx.cmap(lambda a: a.reshape(a.shape[:4] + (a.shape[4], K2)), P),
+        (2, 2, 2, 2))   # [*lat, 4, 3, 2K]
+    up = np.abs(np.asarray(cols.re[..., 2:, :, :K])).max()
+    dn = np.abs(np.asarray(cols.re[..., :2, :, K:])).max()
+    assert up < 1e-12 and dn < 1e-12, (up, dn)
+
+    Ac = coarse_matrix(op, P, normal=False)
+    M = mg_preconditioner_d(op, P, Ac, smooth_steps=4)
+    xm, rs, itm = fgcr(D, b, M=M, tol=1e-9, maxiter=400, restart=8,
+                       cols=True)
+    xn, _, itn = cg(lambda u: _A_normal(op, u), apply_wilson_dagger(op, b),
+                    tol=1e-9, maxiter=20000, cols=True)
+    err = float(jnp.max(jnp.abs(xm.re - xn.re))
+                + jnp.max(jnp.abs(xm.im - xn.im)))
+    assert err < 1e-5, err
+    # D-apply economy: outer(1) + cycle(2*ss + 2) per iteration vs
+    # CGNE's 2 per iteration — require a real multiple
+    assert int(itm) * 11 * 2 < 2 * int(itn), (int(itm), int(itn))
+
+
+def test_fgcr_unpreconditioned_matches_bicgstab_answer():
+    """fgcr without a preconditioner solves general non-Hermitian
+    systems (restarted GCR); answers match the Wilson solve."""
+    from superbblas_tpu.models import apply_wilson
+    from superbblas_tpu.solvers import bicgstab, fgcr
+
+    lat = (4, 4, 4, 4)
+    op = wilson_operator(lat, mass=0.2, key=3, dtype=jnp.complex128)
+    rng = np.random.default_rng(4)
+    b = cplx.CArray(jnp.asarray(rng.standard_normal(lat + (4, 3, 1))),
+                    jnp.asarray(rng.standard_normal(lat + (4, 3, 1))))
+    D = lambda u: apply_wilson(op, u)
+    xg, rsg, _ = fgcr(D, b, tol=1e-9, maxiter=500, restart=12)
+    xb, _, _ = bicgstab(D, b, tol=1e-10, maxiter=500)
+    err = float(jnp.max(jnp.abs(xg.re - xb.re))
+                + jnp.max(jnp.abs(xg.im - xb.im)))
+    assert err < 1e-6, err
