@@ -58,6 +58,7 @@ __all__ = [
     "save",
     "load",
     "load_stream",
+    "save_stream",
     "check_or_write_checksums",
     "close_storage",
     "save_sharded",
@@ -616,6 +617,110 @@ def load_stream(sto: Storage, from0=None, size0=None,
                 slice(o, o + s) for o, s in zip(blk_off[1:], isize[1:]))
             window[sl_req] = data[sl_blk]
         yield wfrom, window
+
+
+def _write_block_rows(sto: Storage, blk: _Block, r0: int,
+                      data: np.ndarray) -> None:
+    """Write leading-axis rows [r0, r0 + len(data)) of a block — the
+    windowed subrange write mirroring :func:`_read_block_rows` (the
+    reference seeks per request through MPI-IO, storage.h:1002-1094).
+    Level-2 per-block checksums are NOT updated here; callers
+    recompute them once all rows landed (:func:`_refresh_block_crc`)."""
+    row_elems = volume(blk.size[1:]) if len(blk.size) > 1 else 1
+    dt = (sto.dtype.newbyteorder(">") if sto.byteswap
+          else sto.dtype.newbyteorder("<"))
+    raw = np.ascontiguousarray(data.astype(dt))
+    with sto._lock:
+        f = sto._open()
+        f.seek(blk.values_offset + r0 * row_elems * sto.dtype.itemsize)
+        f.write(raw.tobytes())
+        f.flush()
+
+
+def _refresh_block_crc(sto: Storage, blk: _Block,
+                       max_window_bytes: int = 256 << 20) -> None:
+    """Recompute a block's level-2 CRC by STREAMING its bytes in
+    checksum-blocksize-aligned windows — the CRC-of-CRCs scheme
+    (storage.h:698-730) builds the piece array incrementally, so host
+    memory stays O(window) even for bigger-than-RAM blocks."""
+    if sto.checksum_level != 2 or blk.checksum_offset < 0:
+        return
+    bs = sto.checksum_blocksize
+    total = volume(blk.size) * sto.dtype.itemsize
+    if bs <= 0:
+        bs = total
+    win = max(bs, (max_window_bytes // bs) * bs)
+    pieces = []
+    with sto._lock:
+        f = sto._open()
+        off = 0
+        while off < total:
+            f.seek(blk.values_offset + off)
+            chunk = f.read(min(win, total - off))
+            for i in range(0, len(chunk), bs):
+                pieces.append(_crc(chunk[i:i + bs]))
+            off += len(chunk)
+        crc = _crc(np.asarray(pieces, dtype="<u4").tobytes())
+        f.seek(blk.checksum_offset)
+        f.write(struct.pack("<d", float(crc)))
+        f.flush()
+
+
+def save_stream(sto: Storage, windows, max_window_bytes: int = 256 << 20
+                ) -> None:
+    """Write a stream of (window_from, window_data) pairs — the
+    write-side mirror of :func:`load_stream`, for tensors bigger than
+    host RAM (the reference writes per-block windows through MPI-IO
+    seeks, storage.h:1002-1094).  Windows are boxes in FILE label order
+    (exactly what ``load_stream`` yields, so
+    ``save_stream(dst, load_stream(src))`` streams a file-to-file copy
+    at O(window) host memory).
+
+    Each window is scattered into every declared block it intersects by
+    leading-axis row-subrange writes; rows narrower than the block are
+    read-modified-written at row granularity, so no whole block or
+    whole-tensor coverage bitmap is ever materialized.  A window region
+    outside all declared blocks raises, as in :func:`save`.  Level-2
+    per-block checksums are recomputed once per TOUCHED block after the
+    stream ends (streamed too — :func:`_refresh_block_crc`)."""
+    touched = []
+    seen = set()
+    for wfrom, wdata in windows:
+        wfrom = tuple(int(v) for v in wfrom)
+        wsize = wdata.shape
+        covered = np.zeros(wsize, dtype=bool)
+        with sto._lock:
+            for blk, ifrom, isize in _block_intersections(sto, wfrom,
+                                                          wsize):
+                req_off = tuple((f - g) % d for f, g, d in
+                                zip(ifrom, wfrom, sto.dim))
+                blk_off = tuple((f - g) % d for f, g, d in
+                                zip(ifrom, blk.frm, sto.dim))
+                sl_req = tuple(slice(o, o + s)
+                               for o, s in zip(req_off, isize))
+                covered[sl_req] = True
+                r0, r1 = blk_off[0], blk_off[0] + isize[0]
+                full_rows = isize[1:] == blk.size[1:]
+                if full_rows:
+                    rows = wdata[sl_req]
+                else:
+                    # narrower than the block: read-modify-write at row
+                    # granularity (still O(window) host memory)
+                    rows = _read_block_rows(sto, blk, r0, r1)
+                    sub = (slice(None),) + tuple(
+                        slice(o, o + s)
+                        for o, s in zip(blk_off[1:], isize[1:]))
+                    rows[sub] = wdata[sl_req]
+                _write_block_rows(sto, blk, r0, rows)
+                if blk.values_offset not in seen:
+                    seen.add(blk.values_offset)
+                    touched.append(blk)
+        if not covered.all():
+            raise ValueError(
+                "save_stream: part of a window is not covered by any "
+                "declared block (use append_blocks first)")
+    for blk in touched:
+        _refresh_block_crc(sto, blk, max_window_bytes)
 
 
 def _extract_box_np(arr, frm, size):

@@ -393,3 +393,58 @@ def test_save_overlapping_blocks_uncovered_raises(tmp_path):
     got = S.load(1.0, sto, np.zeros(2), "x", from0=(0,), size0=(2,))
     np.testing.assert_array_equal(got, [0.0, 1.0])
     S.close_storage(sto)
+
+
+def test_save_stream_roundtrip_and_checksums(tmp_path):
+    """save_stream is the write-side mirror of load_stream
+    (storage.h:1002-1094 windowed MPI-IO writes): tiny windows, narrow
+    (read-modify-write) windows, multi-block layouts, and streamed
+    level-2 CRC recompute all land bit-identically with save()."""
+    dim = (12, 10)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(dim)
+
+    pa = str(tmp_path / "a.s3t")
+    sa = S.create_storage(pa, "xy", dim, dtype=np.float64, checksum=2)
+    S.append_blocks(sa, [((0, 0), (6, 10)), ((6, 0), (6, 10))])
+    S.save(1.0, x, "xy", sa, "xy")
+    S.close_storage(sa)
+
+    pb = str(tmp_path / "b.s3t")
+    sb = S.create_storage(pb, "xy", dim, dtype=np.float64, checksum=2)
+    S.append_blocks(sb, [((0, 0), (6, 10)), ((6, 0), (6, 10))])
+    # 3-row slabs crossing the block boundary at row 6
+    S.save_stream(sb, ((
+        (r, 0), x[r:r + 3]) for r in range(0, 12, 3)))
+    S.close_storage(sb)
+    assert open(pa, "rb").read() == open(pb, "rb").read()
+
+    # narrow window (columns 2:5 only) -> read-modify-write path
+    sb = S.open_storage(pb)
+    y = x.copy()
+    y[4:9, 2:5] = rng.standard_normal((5, 3))
+    S.save_stream(sb, [((4, 2), y[4:9, 2:5])])
+    S.check_or_write_checksums(sb)      # level-2 CRCs must still verify
+    got = S.load(1.0, sb, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, y)
+    S.close_storage(sb)
+
+    # file-to-file streaming copy: save_stream(dst, load_stream(src))
+    pc = str(tmp_path / "c.s3t")
+    sc = S.create_storage(pc, "xy", dim, dtype=np.float64, checksum=0)
+    S.append_blocks(sc, [((0, 0), dim)])
+    src = S.open_storage(pb, mode="r")
+    S.save_stream(sc, S.load_stream(src, max_window_bytes=200))
+    got = S.load(1.0, sc, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, y)
+    S.close_storage(sc)
+    S.close_storage(src)
+
+
+def test_save_stream_outside_blocks_raises(tmp_path):
+    p = str(tmp_path / "d.s3t")
+    sto = S.create_storage(p, "xy", (8, 8), dtype=np.float64)
+    S.append_blocks(sto, [((0, 0), (4, 8))])
+    with pytest.raises(ValueError, match="not covered"):
+        S.save_stream(sto, [((0, 0), np.zeros((6, 8)))])
+    S.close_storage(sto)
