@@ -1,0 +1,114 @@
+"""Halo-plan sharded gather matvec (parallel/gather_sharded.py) vs the
+replicated oracle, plus the traffic contract: collective-permutes only,
+never GSPMD's nnz-times-field all-reduce (round-3 VERDICT item 6;
+reference extended-domain BSR, bsr.h:2020-2192)."""
+
+import itertools
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from superbblas_tpu import bsr as B
+from superbblas_tpu import cplx
+from superbblas_tpu.parallel import apply_gather_sharded, make_gather_halo_plan
+
+
+def _irregular_op(dim, nc, k_shard, reach, rng, kron=False):
+    """Stencil + one random neighbor within +-reach planes of k_shard:
+    genuinely irregular (no near-uniform merge), but halo-bounded."""
+    nd = len(dim)
+    offs = [(0,) * nd] + [
+        tuple(s if a == mu else 0 for a in range(nd))
+        for mu in range(nd) for s in (1, -1)]
+    maxnnz = len(offs) + 1
+    ii = np.zeros(dim, np.int64)
+    jj = np.zeros(dim + (maxnnz, nd), np.int64)
+    vals = np.zeros(dim + (maxnnz, nc, nc))
+    for s in itertools.product(*[range(d) for d in dim]):
+        kk = 0
+        for off in offs:
+            jj[s][kk] = [(a + o) % d for a, o, d in zip(s, off, dim)]
+            vals[s][kk] = rng.standard_normal((nc, nc))
+            kk += 1
+        t = [int(rng.integers(0, d)) for d in dim]
+        t[k_shard] = (s[k_shard]
+                      + int(rng.integers(-reach, reach + 1))) % dim[k_shard]
+        jj[s][kk] = t
+        vals[s][kk] = rng.standard_normal((nc, nc))
+        ii[s] = kk + 1
+    lat = "xyzt"[:nd]
+    if kron:
+        kr = rng.standard_normal((maxnnz, 2, 2))
+        return B.create_kron_bsr(
+            lat + "Ss", dim + (2, nc), lat + "Cc", dim + (2, nc),
+            (1,) * nd + (1, nc), (1,) * nd + (1, nc),
+            (1,) * nd + (2, 1), (1,) * nd + (2, 1),
+            ii, jj, jnp.asarray(vals), jnp.asarray(kr))
+    return B.create_bsr(lat + "s", dim + (nc,), lat + "c", dim + (nc,),
+                        (1,) * nd + (nc,), (1,) * nd + (nc,), ii, jj,
+                        jnp.asarray(vals))
+
+
+@pytest.mark.parametrize("k_shard,dim", [(0, (16, 4, 6)), (1, (4, 16, 6))])
+def test_gather_sharded_matches_oracle(k_shard, dim):
+    rng = np.random.default_rng(k_shard)
+    op = _irregular_op(dim, 2, k_shard, 2, rng)
+    assert op.mode == "gather"
+    w, jj_local = make_gather_halo_plan(op, k_shard, 8)
+    assert 2 <= w <= dim[k_shard] // 8 + 1
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 3))))
+    want = B.bsr_krylov(1.0, op, x, "xyzcn")
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("d",))
+    axes = {c: ("d" if i == k_shard else None)
+            for i, c in enumerate("xyz")}
+    spec = P(*[("d" if i == k_shard else None) for i in range(3)],
+             None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    got = apply_gather_sharded(op, xs, mesh, axes)
+    assert got.re.sharding.spec == spec
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    gi = np.asarray(jax.device_put(got.im, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(want.re), atol=1e-10)
+    np.testing.assert_allclose(gi, np.asarray(want.im), atol=1e-10)
+
+    # traffic contract: minimal halo (collective-permutes), no all-reduce
+    hlo = jax.jit(lambda v: apply_gather_sharded(op, v, mesh, axes)) \
+        .lower(xs).compile().as_text()
+    assert len(re.findall(r" collective-permute\(", hlo)) >= 2
+    assert not re.findall(r" all-reduce\(", hlo)
+
+
+def test_gather_sharded_kron():
+    rng = np.random.default_rng(7)
+    dim = (16, 4, 4)
+    op = _irregular_op(dim, 2, 0, 1, rng, kron=True)
+    assert op.mode == "gather" and op.kron is not None
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 2, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 2, 3))))
+    want = B.bsr_krylov(1.0, op, x, "xyzCcn")
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("d",))
+    spec = P("d", None, None, None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    got = apply_gather_sharded(op, xs, mesh,
+                               {"x": "d", "y": None, "z": None})
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(want.re), atol=1e-10)
+
+
+def test_gather_sharded_unbounded_raises():
+    rng = np.random.default_rng(3)
+    dim = (16, 4, 4)
+    op = _irregular_op(dim, 2, 0, 7, rng)   # reach 7 > L=2: unbounded
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("d",))
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 1))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 1))))
+    xs = jax.device_put(x, NamedSharding(mesh, P("d")))
+    with pytest.raises(ValueError, match="unbounded|planes past"):
+        apply_gather_sharded(op, xs, mesh,
+                             {"x": "d", "y": None, "z": None})
