@@ -64,17 +64,25 @@ def _kern(xr, yr, *, YB, ZB, mid_swap):
 
 
 def pallas_permute(x: jax.Array, perm: Tuple[int, ...],
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   blocks: Optional[Tuple[int, int]] = None) -> jax.Array:
     """jnp.transpose(x, perm) through the tiled Pallas kernel.
 
     Caller must have checked :func:`permute_eligible`.  Only valid for
     single-device (or fully-replicated) operands — pallas_call does not
-    partition itself over GSPMD-sharded inputs.
+    partition itself over GSPMD-sharded inputs.  ``blocks=(YB, ZB)``
+    overrides the tile pick (per-toolchain retune sweeps,
+    experiments/permute_retune.py).
     """
     perm = tuple(perm)
     mid_swap = _SUPPORTED[perm]
     X, Y, Z, T = x.shape
-    YB, ZB = _pick_block(Y), _pick_block(Z)
+    if blocks is not None:
+        YB, ZB = blocks
+        if Y % YB or Z % ZB:
+            raise ValueError(f"blocks {blocks} must divide (Y={Y}, Z={Z})")
+    else:
+        YB, ZB = _pick_block(Y), _pick_block(Z)
     out_shape = tuple(x.shape[p] for p in perm)
 
     if mid_swap:

@@ -354,8 +354,14 @@ def stencil_matvec_soa(
     bi: int, bd: int,
     interpret: bool = False,
     packed_parity: Optional[int] = None,
+    chunks: Optional[Tuple[int, int]] = None,
 ) -> cplx.CArray:
-    """y[n, KI*BI, X, Y, Z, T] = stencil matvec in SoA layout."""
+    """y[n, KI*BI, X, Y, Z, T] = stencil matvec in SoA layout.
+
+    ``chunks=(nc, Yc)`` overrides the VMEM-budget auto-pick (used by the
+    per-toolchain retune sweep, experiments/stencil_retune.py — Mosaic
+    scheduling shifts between releases, so the best config is re-measured
+    each round per VERDICT r2 item 10)."""
     ndir, FB = blocks.shape[0], blocks.shape[1]
     X, Y, Z, T = blocks.shape[2:]
     n = x.shape[0]
@@ -371,8 +377,13 @@ def stencil_matvec_soa(
     assert FB == bi * bd and x.shape[1] == F
 
     # bf16 operands are converted to f32 in VMEM: budget raw + converted
-    nc, Yc = _pick_chunks(n, Y, F, KO, bi, bd, Z, T, ndir,
-                          itemsize=(6 if x.dtype.itemsize == 2 else 4))
+    if chunks is not None:
+        nc, Yc = chunks
+        if n % nc or Y % Yc:
+            raise ValueError(f"chunks {chunks} must divide (n={n}, Y={Y})")
+    else:
+        nc, Yc = _pick_chunks(n, Y, F, KO, bi, bd, Z, T, ndir,
+                              itemsize=(6 if x.dtype.itemsize == 2 else 4))
     grid = (X, Y // Yc, n // nc)
 
     xspec = pl.BlockSpec(
