@@ -95,10 +95,13 @@ def main():
         # match for scan carry, so only use involutive perms
         vv = jnp.transpose(v, p)
         if vv.shape != v.shape:
-            # pad case: time one-shot pairs instead
+            # shape-changing perm: chain forward+inverse pairs (inverse
+            # perm computed on HOST — a traced argsort cannot feed a
+            # static transpose axis list)
+            import numpy as _np
+            pinv = tuple(int(i) for i in _np.argsort(p))
             fn = jax.jit(lambda a: jnp.transpose(
-                jnp.transpose(a, p) + 1.0,
-                tuple(int(i) for i in jnp.argsort(jnp.array(p)))))
+                jnp.transpose(a, p) + 1.0, pinv))
             dt = timeit(fn, v) / 2.0
         else:
             dt = timeit(jax.jit(lambda a: jnp.transpose(a, p)), v)

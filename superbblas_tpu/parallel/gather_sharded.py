@@ -20,7 +20,8 @@ raise; route those through the replicated path.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import weakref
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,14 @@ from ..bsr import BSROperator, _apply_gather, _apply_gather_kron
 from .halo import extend_local as _extend
 
 __all__ = ["make_gather_halo_plan", "apply_gather_sharded"]
+
+#: per-operator memo of (plan, device index tensor, shard_mapped callable)
+#: keyed on (id(op), lat_axis, nshards, mesh, mesh_axis, nblk) — a Krylov
+#: solver calls apply_gather_sharded once per matvec, and rebuilding the
+#: O(voli*nnz*nd) host plan + re-uploading jj + re-tracing the shard_map
+#: each iteration would dominate the solve.  Entries die with the
+#: operator (weakref.finalize), so id() recycling cannot alias.
+_GATHER_CACHE: dict = {}
 
 
 def make_gather_halo_plan(op: BSROperator, lat_axis: int, nshards: int):
@@ -97,7 +106,8 @@ def make_gather_halo_plan(op: BSROperator, lat_axis: int, nshards: int):
 
 
 def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
-                         axes: Dict[str, Optional[str]]):
+                         axes: Dict[str, Optional[str]],
+                         plan: Optional[Tuple[int, np.ndarray]] = None):
     """y = A x for a GATHER-mode operator on a lattice-sharded operand
     through one explicit halo exchange (the reference's extended-domain
     BSR matvec, bsr.h:2020-2192) — instead of GSPMD's nnz-times-field
@@ -108,6 +118,12 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     ``op.blocks`` (and ``jj_flat``) may be replicated or sharded the
     same way — blocks are passed through the shard_map with the lattice
     spec.  Returns the input sharding.
+
+    ``plan``: optional precomputed :func:`make_gather_halo_plan` result
+    for the sharded axis.  Without it the plan, the device index tensor
+    and the shard_mapped callable are all memoized per (operator, mesh,
+    axis) — repeated applies (a Krylov solve) pay the host-side plan
+    build and upload once, like the redistribution plan cache.
     """
     if op.mode != "gather":
         raise ValueError("requires a gather-mode operator")
@@ -119,14 +135,24 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
             f"{len(sharded)}")
     k, nm = sharded[0]
     n = mesh.shape[nm]
-    w, jj_local = make_gather_halo_plan(op, k, n)
     nlat = len(op.dim_d)
+    nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
+
+    key = (id(op), k, n, mesh, nm, nblk)
+    hit = _GATHER_CACHE.get(key) if plan is None else None
+    if hit is not None:
+        jj_dev, fn = hit
+        return fn(op.blocks,
+                  op.kron if op.kron is not None else jnp.zeros((0,)),
+                  jj_dev, x)
+
+    w, jj_local = plan if plan is not None else \
+        make_gather_halo_plan(op, k, n)
     L = op.dim_d[k] // n
     loc_core = op.dim_d[:k] + (L,) + op.dim_d[k + 1:]
     loc_ext = op.dim_d[:k] + (L + 2 * w,) + op.dim_d[k + 1:]
 
     spec_lat = tuple(nm if i == k else None for i in range(nlat))
-    nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
     spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
     bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
            else op.blocks.ndim)
@@ -134,23 +160,31 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     jj_dev = jax.device_put(
         jnp.asarray(jj_local), NamedSharding(mesh, PartitionSpec(nm)))
 
+    # the cached closure must NOT capture `op` (the cache entry would
+    # keep it alive and the finalize-based eviction could never fire) —
+    # lift the static metadata into locals
+    meta = dict(oim=op.oim, odm=op.odm, lat_i=op.lat_i, lat_d=op.lat_d,
+                blk_i=op.blk_i, blk_d=op.blk_d, dim_i=loc_core,
+                dim_d=loc_ext, bi=op.bi, bd=op.bd, mode="gather",
+                offsets=op.offsets, kron_i=op.kron_i, kron_d=op.kron_d,
+                ki=op.ki, kd=op.kd)
+    has_kron = op.kron is not None
+
     def body(blocks_l, kron_l, jj_l, x_l):
         x_e = _extend(x_l, {k: nm}, {k: w}, mesh) if w else x_l
-        lop = BSROperator(
-            oim=op.oim, odm=op.odm, lat_i=op.lat_i, lat_d=op.lat_d,
-            blk_i=op.blk_i, blk_d=op.blk_d, dim_i=loc_core,
-            dim_d=loc_ext, bi=op.bi, bd=op.bd, mode="gather",
-            blocks=blocks_l, offsets=op.offsets, jj_flat=jj_l[0],
-            kron=kron_l if op.kron is not None else None,
-            kron_i=op.kron_i, kron_d=op.kron_d, ki=op.ki, kd=op.kd,
-        )
-        fn = _apply_gather_kron if op.kron is not None else _apply_gather
+        lop = BSROperator(blocks=blocks_l, jj_flat=jj_l[0],
+                          kron=kron_l if has_kron else None, **meta)
+        fn = _apply_gather_kron if has_kron else _apply_gather
         return fn(lop, x_e)
 
-    kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
-    return shard_map(
+    fn = shard_map(
         body, mesh=mesh,
         in_specs=(bspec, PartitionSpec(), PartitionSpec(nm, None, None),
                   spec_x),
         out_specs=spec_x, check_vma=False,
-    )(op.blocks, kron_in, jj_dev, x)
+    )
+    if plan is None:
+        _GATHER_CACHE[key] = (jj_dev, fn)
+        weakref.finalize(op, _GATHER_CACHE.pop, key, None)
+    kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
+    return fn(op.blocks, kron_in, jj_dev, x)

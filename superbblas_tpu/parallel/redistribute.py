@@ -316,6 +316,11 @@ class RedistributionPlan:
         self._masked = None
         self.mask_src_stack = self.mask_dst_stack = None
         if mask_src is not None or mask_dst is not None:
+            if pack == "boxes":
+                raise ValueError(
+                    "masked plans are element-granularity after filtering; "
+                    "the 'boxes' packer cannot express them — use "
+                    "pack='runs' or 'auto'")
             ms = (self._stack_mask(mask_src, src)
                   if mask_src is not None else None)
             md = (self._stack_mask(mask_dst, dst)
@@ -338,6 +343,10 @@ class RedistributionPlan:
                    if counts.max(initial=0) < np.iinfo(np.int32).max
                    else np.int64)
             self.counts = counts.astype(cdt)
+            counts_e = counts.copy()   # post-mask element totals (B == 1)
+            # element granularity: only the runs executor applies (an
+            # explicit pack='boxes' raised above; the SBT_REDIST_PACK
+            # preference is intentionally not consulted)
             pack = "runs"
 
         # executor strategy: static box copies (any alignment, copy
@@ -371,11 +380,14 @@ class RedistributionPlan:
     def _validate(self) -> None:
         """Every piece must stay inside its destination block, and
         copy-mode plans must write every covered destination element
-        exactly once (rasterized per dst rank — pack-independent)."""
+        exactly once.  Overlap detection is a sweep over the piece BOXES
+        (sorted by axis-0 start, axis-0-open boxes checked on the
+        remaining axes) — O(pieces log pieces + overlapping pairs) host
+        work, never O(destination volume), so int64-widened giant plans
+        validate without rasterizing multi-GiB coverage arrays."""
         by_dst: dict = {}
         for (i, j), pieces in self.pair_pieces.items():
             by_dst.setdefault(j, []).extend(_iter_pieces(pieces))
-        cov = None
         for j, pieces in by_dst.items():
             for sfl, dfl, shp in pieces:
                 if any(f + s > b for f, s, b in zip(dfl, shp,
@@ -388,16 +400,21 @@ class RedistributionPlan:
                         f"plan reads outside rank {j}'s source block")
             if self.copy_add != "copy":
                 continue
-            if cov is None:
-                cov = np.zeros(self.dst_shape, np.uint16)
-            else:
-                cov[...] = 0
-            for _, dfl, shp in pieces:
-                cov[tuple(slice(f, f + s) for f, s in zip(dfl, shp))] += 1
-            if cov.max(initial=0) > 1:
-                raise ValueError(
-                    f"copy plan covers a destination element of rank {j} "
-                    "more than once (overlapping fragments)")
+            boxes = sorted((tuple(dfl), tuple(shp))
+                           for _, dfl, shp in pieces)
+            active: list = []   # (end0, dfl, shp) still open on axis 0
+            for dfl, shp in boxes:
+                start0 = dfl[0] if dfl else 0
+                active = [a for a in active if a[0] > start0]
+                for _, adfl, ashp in active:
+                    if all(max(f1, f2) < min(f1 + s1, f2 + s2)
+                           for f1, s1, f2, s2 in zip(dfl[1:], shp[1:],
+                                                     adfl[1:], ashp[1:])):
+                        raise ValueError(
+                            f"copy plan covers a destination element of "
+                            f"rank {j} more than once (overlapping "
+                            "fragments)")
+                active.append(((dfl[0] + shp[0]) if dfl else 1, dfl, shp))
 
     # -- lazy run-granularity layouts -----------------------------------
     @staticmethod
@@ -1271,6 +1288,21 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
 # ---------------------------------------------------------------------------
 # host-side stacked-local <-> global converters
 
+#: jitted pack/unpack closures keyed on (kind, Partition, mesh/sharding,
+#: axis) — jax.jit keys on FUNCTION IDENTITY, so rebuilding the closure
+#: per call would recompile the static slice/scatter graph every time
+_DEVICE_PACK_CACHE: dict = {}
+_DEVICE_PACK_CACHE_MAX = 64
+
+
+def _cached_jit(key, make):
+    fn = _DEVICE_PACK_CACHE.get(key)
+    if fn is None:
+        if len(_DEVICE_PACK_CACHE) >= _DEVICE_PACK_CACHE_MAX:
+            _DEVICE_PACK_CACHE.pop(next(iter(_DEVICE_PACK_CACHE)))
+        fn = _DEVICE_PACK_CACHE[key] = make()
+    return fn
+
 
 def pack_global_device(x, part: Partition, mesh: Mesh,
                        axis: str = "p"):
@@ -1305,13 +1337,16 @@ def pack_global_device(x, part: Partition, mesh: Mesh,
             outs.append(blk)
         return jnp.stack(outs)
 
-    return jax.jit(pack, out_shardings=out_sh)(x)
+    return _cached_jit(("pack", part, mesh, axis),
+                       lambda: jax.jit(pack, out_shardings=out_sh))(x)
 
 
 def unpack_global_device(stack, part: Partition, out_sharding=None):
     """Device: stacked local blocks -> global array (later ranks win on
     overlap), as a jitted graph of static scatters; the result carries
-    ``out_sharding`` when given."""
+    ``out_sharding`` when given.  Reference analog: ``unpack`` scattering
+    the received buffer into the destination tensor
+    (dist.h:1364-1404, prepared by prepare_unpack at dist.h:1155-1238)."""
     dim = part.dim
 
     def unpack(st):
@@ -1328,9 +1363,12 @@ def unpack_global_device(stack, part: Partition, out_sharding=None):
                 out = out.at[idx].set(blk)
         return out
 
-    fn = (jax.jit(unpack, out_shardings=out_sharding)
-          if out_sharding is not None else jax.jit(unpack))
-    return fn(stack)
+    def make():
+        if out_sharding is not None:
+            return jax.jit(unpack, out_shardings=out_sharding)
+        return jax.jit(unpack)
+
+    return _cached_jit(("unpack", part, out_sharding), make)(stack)
 
 
 def pack_global(x: np.ndarray, part: Partition) -> np.ndarray:

@@ -647,20 +647,32 @@ def _refresh_block_crc(sto: Storage, blk: _Block,
         return
     bs = sto.checksum_blocksize
     total = volume(blk.size) * sto.dtype.itemsize
-    if bs <= 0:
-        bs = total
-    win = max(bs, (max_window_bytes // bs) * bs)
-    pieces = []
     with sto._lock:
         f = sto._open()
-        off = 0
-        while off < total:
-            f.seek(blk.values_offset + off)
-            chunk = f.read(min(win, total - off))
-            for i in range(0, len(chunk), bs):
-                pieces.append(_crc(chunk[i:i + bs]))
-            off += len(chunk)
-        crc = _crc(np.asarray(pieces, dtype="<u4").tobytes())
+        if bs <= 0:
+            # blocking disabled: _blocked_crc is the PLAIN CRC of the
+            # data (no piece wrapping, storage.h:698-730) — stream it
+            # incrementally through zlib's running CRC
+            crc = 0
+            off = 0
+            while off < total:
+                f.seek(blk.values_offset + off)
+                chunk = f.read(min(max_window_bytes, total - off))
+                crc = _crc(chunk, crc)
+                off += len(chunk)
+        else:
+            win = max(bs, (max_window_bytes // bs) * bs)
+            pieces = []
+            off = 0
+            while off < total:
+                f.seek(blk.values_offset + off)
+                chunk = f.read(min(win, total - off))
+                for i in range(0, len(chunk), bs):
+                    pieces.append(_crc(chunk[i:i + bs]))
+                off += len(chunk)
+            if not pieces:
+                pieces = [_crc(b"")]  # num_blocks >= 1, as _blocked_crc
+            crc = _crc(np.asarray(pieces, dtype="<u4").tobytes())
         f.seek(blk.checksum_offset)
         f.write(struct.pack("<d", float(crc)))
         f.flush()

@@ -689,3 +689,55 @@ def test_giant_plan_int64_metadata():
     assert plan.counts_elems[0, 0] == 2 ** 32
     # the boxes packer carries piece descriptors (no run materialization)
     assert plan.pack == "boxes"
+
+
+def test_masked_plan_rejects_boxes_pack():
+    """Masked plans are element-granularity after filtering; an EXPLICIT
+    pack='boxes' request cannot be honored and must raise rather than be
+    silently overridden (auto/None resolve to 'runs')."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (8,)
+    src = Partition(dim=dim, boxes=(((0,), (4,)), ((4,), (4,))))
+    dst = Partition(dim=dim, boxes=(((0,), (8,)), ((0,), (0,))))
+    mask = np.ones(dim, bool)
+    mask[::2] = False
+    with pytest.raises(ValueError, match="element-granularity"):
+        R.RedistributionPlan(src, dst, "copy", pack="boxes", mask_src=mask)
+    plan = R.RedistributionPlan(src, dst, "copy", mask_src=mask)
+    assert plan.pack == "runs"
+    # post-mask element totals drive the degeneration warning, not the
+    # unmasked piece volumes
+    assert int(plan.counts_elems.sum()) == int(mask.sum())
+
+
+def test_validate_overlap_sweep():
+    """The O(pieces) sweep in _validate catches overlapping copy-mode
+    coverage without rasterizing the destination volume: tampered plans
+    raise; axis-0-overlapping but axis-1-disjoint pieces pass."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (8, 8)
+    src = Partition(dim=dim, boxes=(((0, 0), dim),))
+    dst = Partition(dim=dim, boxes=(((0, 0), dim),))
+    plan = R.RedistributionPlan(src, dst, "copy")
+    plan._validate()   # the pristine plan is fine
+
+    # same axis-0 rows, disjoint columns -> no overlap
+    plan.pair_pieces[(0, 0)] = np.asarray(
+        [[(0, 0), (0, 0), (8, 4)], [(0, 4), (0, 4), (8, 4)]])
+    plan._validate()
+
+    # genuine 2D overlap at (2:4, 2:4)
+    plan.pair_pieces[(0, 0)] = np.asarray(
+        [[(0, 0), (0, 0), (4, 4)], [(2, 2), (2, 2), (4, 4)]])
+    with pytest.raises(ValueError, match="more than once"):
+        plan._validate()
+
+    # 1D: axis-0 overlap alone must trigger
+    src1 = Partition(dim=(8,), boxes=(((0,), (8,)),))
+    plan1 = R.RedistributionPlan(src1, src1, "copy")
+    plan1.pair_pieces[(0, 0)] = np.asarray(
+        [[(0,), (0,), (5,)], [(3,), (3,), (5,)]])
+    with pytest.raises(ValueError, match="more than once"):
+        plan1._validate()

@@ -448,3 +448,30 @@ def test_save_stream_outside_blocks_raises(tmp_path):
     with pytest.raises(ValueError, match="not covered"):
         S.save_stream(sto, [((0, 0), np.zeros((6, 8)))])
     S.close_storage(sto)
+
+
+def test_save_stream_unblocked_crc(tmp_path, monkeypatch):
+    """_refresh_block_crc must mirror _blocked_crc when the file's
+    checksum_blocksize is <= 0 (CRC blocking disabled, storage.h:698-730
+    — the blocked scheme wraps piece CRCs, the unblocked one is the
+    PLAIN data CRC): save_stream on such a file must leave level-2
+    checksums verifiable."""
+    monkeypatch.setattr(S, "DEFAULT_CHECKSUM_BLOCKSIZE", 0)
+    dim = (6, 8)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(dim)
+    p = str(tmp_path / "u.s3t")
+    sto = S.create_storage(p, "xy", dim, dtype=np.float64, checksum=2)
+    assert sto.checksum_blocksize <= 0
+    S.append_blocks(sto, [((0, 0), dim)])
+    S.save(1.0, x, "xy", sto, "xy")
+    S.close_storage(sto)
+
+    sto = S.open_storage(p)
+    y = x.copy()
+    y[2:4] = rng.standard_normal((2, 8))
+    S.save_stream(sto, [((2, 0), y[2:4])])
+    S.check_or_write_checksums(sto)   # must verify, not raise
+    got = S.load(1.0, sto, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, y)
+    S.close_storage(sto)
