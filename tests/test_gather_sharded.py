@@ -112,3 +112,55 @@ def test_gather_sharded_unbounded_raises():
     with pytest.raises(ValueError, match="unbounded|planes past"):
         apply_gather_sharded(op, xs, mesh,
                              {"x": "d", "y": None, "z": None})
+
+
+@pytest.mark.parametrize("kron", [False, True])
+def test_gather_sharded_ca_powers(kron):
+    """power=p applies the operator p times after ONE widened exchange
+    (the okr-powers / bsr_krylov_ca analog for irregular operators,
+    bsr.h:2109-2247): halo-site rows travel with the field, shells
+    invalidate inward by w per apply, the cropped core matches p
+    replicated applies; all_powers stacks the s-step basis."""
+    rng = np.random.default_rng(11)
+    dim = (16, 4, 6)
+    op = _irregular_op(dim, 2, 0, 1, rng, kron=kron)
+    assert op.mode == "gather"
+    xsh = dim + ((2, 2, 3) if kron else (2, 3))
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(xsh)),
+                    jnp.asarray(rng.standard_normal(xsh)))
+    ox = "xyzCcn" if kron else "xyzcn"
+    w1 = B.bsr_krylov(1.0, op, x, ox)
+    w2 = B.bsr_krylov(1.0, op, w1, ox)
+    w3 = B.bsr_krylov(1.0, op, w2, ox)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("d",))
+    spec = P("d", *([None] * (len(xsh) - 1)))
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    axes = {"x": "d", "y": None, "z": None}
+
+    got3 = apply_gather_sharded(op, xs, mesh, axes, power=3)
+    gr = np.asarray(jax.device_put(got3.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(w3.re), atol=1e-9)
+    assert got3.re.sharding.spec == spec
+
+    stack = apply_gather_sharded(op, xs, mesh, axes, power=2,
+                                 all_powers=True)
+    sr = np.asarray(jax.device_put(stack.re, NamedSharding(mesh, P())))
+    assert sr.shape[0] == 2
+    np.testing.assert_allclose(sr[0], np.asarray(w1.re), atol=1e-9)
+    np.testing.assert_allclose(sr[1], np.asarray(w2.re), atol=1e-9)
+
+    # ONE exchange: exactly one ppermute pair even at power=3
+    import re as _re
+    hlo = jax.jit(lambda v: apply_gather_sharded(op, v, mesh, axes,
+                                                 power=3)) \
+        .lower(xs).compile().as_text()
+    # field + blocks rows each take one pair (re+im parts fuse or not —
+    # bound the count instead of pinning XLA's fusion choices)
+    n_cp = len(_re.findall(r" collective-permute\(", hlo))
+    assert 2 <= n_cp <= 8, n_cp
+    assert not _re.findall(r" all-reduce\(", hlo)
+
+    # power too large for the slab raises
+    with pytest.raises(ValueError, match="planes past"):
+        apply_gather_sharded(op, xs, mesh, axes, power=9)
