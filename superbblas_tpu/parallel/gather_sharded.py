@@ -8,18 +8,20 @@ runs general BSR through the same halo machinery as stencils: the
 x-gather is a redistribution onto the extended domain
 (bsr.h:2020-2192).  This module is that path for TPU: a host-side plan
 remaps every neighbor index into a halo-extended LOCAL frame, one
-ppermute pair exchanges the boundary planes, and the gather runs
-entirely shard-local.
+ppermute pair per sharded axis exchanges the boundary planes (corners
+ride the sequential per-axis extension), and the gather runs entirely
+shard-local.
 
-Scope: operators whose neighbor lists stay within ``w`` planes of the
-owning shard along the (single) sharded lattice axis, with w <= the
-local shard extent — bounded-offset irregularity (open boundaries,
-defects, dislocations, random local couplings).  Unbounded operators
-raise; route those through the replicated path.
+Scope: operators whose neighbor lists stay within ``w_a`` planes of the
+owning shard along every sharded lattice axis, with w_a <= the local
+shard extent — bounded-offset irregularity (open boundaries, defects,
+dislocations, random local couplings).  Unbounded operators raise;
+route those through the replicated path.
 """
 
 from __future__ import annotations
 
+import itertools
 import weakref
 from typing import Dict, Optional, Tuple
 
@@ -36,24 +38,29 @@ from .halo import extend_local as _extend
 
 __all__ = ["make_gather_halo_plan", "apply_gather_sharded"]
 
-#: per-operator memo of (plan, device index tensor, shard_mapped callable)
-#: keyed on (id(op), lat_axis, nshards, mesh, mesh_axis, nblk) — a Krylov
-#: solver calls apply_gather_sharded once per matvec, and rebuilding the
-#: O(voli*nnz*nd) host plan + re-uploading jj + re-tracing the shard_map
-#: each iteration would dominate the solve.  Entries die with the
-#: operator (weakref.finalize), so id() recycling cannot alias.
+#: per-operator memo of (device index tensor, shard_mapped callable)
+#: keyed on (id(op), sharded-axes signature, mesh, nblk, power,
+#: all_powers) — a Krylov solver calls apply_gather_sharded once per
+#: matvec, and rebuilding the O(voli*nnz*nd) host plan + re-uploading
+#: jj + re-tracing the shard_map each iteration would dominate the
+#: solve.  Entries die with the operator (weakref.finalize), so id()
+#: recycling cannot alias.
 _GATHER_CACHE: dict = {}
 
 
-def make_gather_halo_plan(op: BSROperator, lat_axis: int, nshards: int,
+def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
                           power: int = 1):
-    """Host-side halo plan for one sharded lattice axis.
+    """Host-side halo plan for one or more sharded lattice axes.
 
-    Returns ``(w, jj_local)`` where ``w`` is the PER-APPLY halo width
-    (max plane distance any neighbor reaches outside its owner's slab)
-    and ``jj_local`` is int32 [nshards, rows, nnz]: per-rank neighbor
-    indices remapped into the halo-extended local frame (axis extent
-    local + 2*w*power, flattened C-order).  The analog of the
+    ``lat_axis``/``nshards``: an int pair (one sharded axis) or
+    equal-length tuples (multi-axis grids).  Returns ``(w, jj_local)``:
+    ``w`` is the PER-APPLY halo width per axis (max plane distance any
+    neighbor reaches outside its owner's slab — int for int input,
+    tuple for tuple input) and ``jj_local`` is int32
+    [n_0, ..., n_{m-1}, rows, nnz]: per-shard neighbor indices remapped
+    into the halo-extended local frame (each sharded axis extent
+    local + 2*w_a*power, flattened C-order; the leading shard-grid axes
+    are collapsed for single-axis input).  The analog of the
     reference's extended-domain index translation (bsr.h:2020-2116).
 
     ``power=1`` (one apply): rows = the shard's CORE sites only.
@@ -61,107 +68,140 @@ def make_gather_halo_plan(op: BSROperator, lat_axis: int, nshards: int,
     of bsr.h:2109-2247 for irregular operators): rows = EVERY site of
     the w*p-extended frame, so the operator can be applied p times
     shard-locally after ONE widened exchange — outputs in the outer
-    ``t*w`` shells after apply t are garbage and progressively
+    ``t*w_a`` shells after apply t are garbage and progressively
     discarded; neighbors that leave the frame (reachable only from
     garbage rows) are clamped to index 0.
     """
+    single = np.isscalar(lat_axis)
+    ks = (int(lat_axis),) if single else tuple(int(a) for a in lat_axis)
+    ns = (int(nshards),) if single else tuple(int(a) for a in nshards)
+    if len(ks) != len(ns) or len(set(ks)) != len(ks):
+        raise ValueError("lat_axis/nshards must pair distinct axes")
     dim = tuple(op.dim_d)
     if tuple(op.dim_i) != dim:
         raise ValueError("halo-plan gather requires a square operator")
     if power < 1:
         raise ValueError("power must be >= 1")
-    k = lat_axis
-    D = dim[k]
-    if D % nshards:
-        raise ValueError(f"lattice axis {k} must divide over {nshards}")
-    L = D // nshards
+    for k, n in zip(ks, ns):
+        if dim[k] % n:
+            raise ValueError(f"lattice axis {k} must divide over {n}")
+    Ls = [dim[k] // n for k, n in zip(ks, ns)]
     jj = np.asarray(op.jj_flat)                     # [voli, nnz]
     voli, nnz = jj.shape
     coords = np.stack(np.unravel_index(jj.reshape(-1), dim), axis=-1)
     coords = coords.reshape(voli, nnz, len(dim))
-    site_k = np.unravel_index(np.arange(voli), dim)[k]
+    sites = np.unravel_index(np.arange(voli), dim)
 
-    # halo width: neighbor position relative to the owner's slab start.
-    # pos in [0, L) is core; outside, the neighbor is reachable from the
-    # high side (pos - L + 1 planes past the slab) or the low side
-    # (D - pos planes before it) — a torus offers both, so each neighbor
-    # NEEDS only the cheaper one (wrapped-interval pitfall, CLAUDE.md)
-    own = site_k // L                               # owning shard per site
-    pos = (coords[..., k] - (own * L)[:, None]) % D
-    need = np.where(pos < L, 0,
-                    np.minimum(pos - L + 1, D - pos))
-    w = int(need.max(initial=0))
-    W = w * power                                   # total halo width
-    if W > L:
-        raise ValueError(
-            f"gather offsets reach {W} planes past the shard (local "
-            f"extent {L}, width {w} x power {power}): the one-ppermute "
-            "exchange cannot source them — use the replicated path or "
-            "a lower power")
+    # per-axis halo width: neighbor position relative to the owner's
+    # slab start.  pos in [0, L) is core; outside, the neighbor is
+    # reachable from the high side (pos - L + 1 planes past the slab)
+    # or the low side (D - pos planes before it) — a torus offers both,
+    # so each neighbor NEEDS only the cheaper one (wrapped-interval
+    # pitfall, CLAUDE.md)
+    ws, Ws = [], []
+    for k, n, L in zip(ks, ns, Ls):
+        D = dim[k]
+        own = sites[k] // L                         # owning shard per site
+        pos = (coords[..., k] - (own * L)[:, None]) % D
+        need = np.where(pos < L, 0,
+                        np.minimum(pos - L + 1, D - pos))
+        w = int(need.max(initial=0))
+        W = w * power                               # total halo width
+        if W > L:
+            raise ValueError(
+                f"gather offsets reach {W} planes past the shard (axis "
+                f"{k}: local extent {L}, width {w} x power {power}): "
+                "the one-ppermute exchange cannot source them — use the "
+                "replicated path or a lower power")
+        ws.append(w)
+        Ws.append(W)
 
-    ext = L + 2 * W
-    ext_dim = dim[:k] + (ext,) + dim[k + 1:]
+    exts = [L + 2 * W for L, W in zip(Ls, Ws)]
+    ext_dim = list(dim)
+    for k, e in zip(ks, exts):
+        ext_dim[k] = e
+    ext_dim = tuple(ext_dim)
+
+    def remap(c, rs):
+        """Map neighbor coords -> ext-frame flat indices for shard rs
+        (clamp=True tolerates out-of-frame neighbors — garbage rows)."""
+        lc = [c[..., a] for a in range(len(dim))]
+        for k, n, L, W, e in zip(ks, ns, Ls, Ws, exts):
+            lpos = (c[..., k] - (rs[ks.index(k)] * L - W)) % dim[k]
+            if power == 1:
+                if (lpos >= e).any():
+                    raise ValueError(
+                        "neighbor outside the halo frame (plan width "
+                        "miscomputed)")   # defensive: w bounds this
+            else:
+                # out-of-frame neighbors are reachable only from garbage
+                # shells whose outputs are discarded — clamp, don't raise
+                lpos = np.where(lpos >= e, 0, lpos)
+            lc[k] = lpos
+        return np.ravel_multi_index(lc, ext_dim)
+
+    grid = list(itertools.product(*[range(n) for n in ns]))
     if power == 1:
         # local flat order = global C-order restricted to the slab (the
         # restriction is an order-preserving bijection onto local C-order)
-        jj_local = np.empty((nshards, L * voli // D, nnz), dtype=np.int64)
-        for r in range(nshards):
-            sel = (site_k >= r * L) & (site_k < (r + 1) * L)
-            c = coords[sel]                         # [voli_loc, nnz, nd]
-            lpos = (c[..., k] - (r * L - W)) % D
-            if (lpos >= ext).any():
-                raise ValueError(
-                    "neighbor outside the halo frame (plan width "
-                    "miscomputed)")   # defensive: w above bounds this
-            lc = [c[..., a] for a in range(len(dim))]
-            lc[k] = lpos
-            jj_local[r] = np.ravel_multi_index(lc, ext_dim)
+        rows = voli
+        for n in ns:
+            rows //= n
+        jj_local = np.empty((len(grid), rows, nnz), dtype=np.int64)
+        for gi, rs in enumerate(grid):
+            sel = np.ones(voli, bool)
+            for k, L, r in zip(ks, Ls, rs):
+                sel &= (sites[k] >= r * L) & (sites[k] < (r + 1) * L)
+            jj_local[gi] = remap(coords[sel], rs)
     else:
         # rows for the FULL extended frame, in frame C-order: take the
-        # global per-site rows at the frame's global axis-k coordinates
+        # global per-site rows at the frame's global coordinates
         coords_g = coords.reshape(dim + (nnz, len(dim)))
-        jj_local = np.empty((nshards, ext * voli // D, nnz),
-                            dtype=np.int64)
-        for r in range(nshards):
-            gk = (r * L - W + np.arange(ext)) % D   # frame -> global k
-            c = np.take(coords_g, gk, axis=k)       # [.. ext .., nnz, nd]
-            c = c.reshape(-1, nnz, len(dim))
-            lpos = (c[..., k] - (r * L - W)) % D
-            # out-of-frame neighbors are reachable only from garbage
-            # shells whose outputs are discarded — clamp, don't raise
-            lpos = np.where(lpos >= ext, 0, lpos)
-            lc = [c[..., a] for a in range(len(dim))]
-            lc[k] = lpos
-            jj_local[r] = np.ravel_multi_index(lc, ext_dim)
+        rows = voli
+        for n, L, e in zip(ns, Ls, exts):
+            rows = rows // (n * L) * e
+        jj_local = np.empty((len(grid), rows, nnz), dtype=np.int64)
+        for gi, rs in enumerate(grid):
+            c = coords_g
+            for k, L, W, e, r in zip(ks, Ls, Ws, exts, rs):
+                gk = (r * L - W + np.arange(e)) % dim[k]  # frame -> global
+                c = np.take(c, gk, axis=k)
+            jj_local[gi] = remap(c.reshape(-1, nnz, len(dim)), rs)
+    jj_local = jj_local.reshape(ns + jj_local.shape[1:])
+    if single:
+        w_out = ws[0]
+    else:
+        w_out = tuple(ws)
     if int(jj_local.max(initial=0)) < np.iinfo(np.int32).max:
         jj_local = jj_local.astype(np.int32)
-    return w, jj_local
+    return w_out, jj_local
 
 
 def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
                          axes: Dict[str, Optional[str]],
-                         plan: Optional[Tuple[int, np.ndarray]] = None,
+                         plan: Optional[Tuple] = None,
                          power: int = 1, all_powers: bool = False):
     """y = A x for a GATHER-mode operator on a lattice-sharded operand
-    through one explicit halo exchange (the reference's extended-domain
-    BSR matvec, bsr.h:2020-2192) — instead of GSPMD's nnz-times-field
-    all-reduce.
+    through one explicit halo exchange per sharded axis (the reference's
+    extended-domain BSR matvec, bsr.h:2020-2192) — instead of GSPMD's
+    nnz-times-field all-reduce.
 
     ``x``: CArray in canonical AoS order [*lat, KD?, BD, N] sharded on
-    exactly ONE lattice axis per ``axes`` (lattice label -> mesh axis);
+    one or more lattice axes per ``axes`` (lattice label -> mesh axis);
     ``op.blocks`` (and ``jj_flat``) may be replicated or sharded the
     same way — blocks are passed through the shard_map with the lattice
     spec.  Returns the input sharding.
 
     ``plan``: optional precomputed :func:`make_gather_halo_plan` result
-    for the sharded axis (built with the SAME ``power``).  Without it
-    the plan, the device index tensor and the shard_mapped callable are
-    all memoized per (operator, mesh, axis, power) — repeated applies
-    (a Krylov solve) pay the host-side plan build and upload once, like
+    for the sharded axes (built with the SAME ``power`` and the same
+    axis order as they appear in ``op.lat_d``).  Without it the plan,
+    the device index tensor and the shard_mapped callable are all
+    memoized per (operator, mesh, axes, power) — repeated applies (a
+    Krylov solve) pay the host-side plan build and upload once, like
     the redistribution plan cache.
 
-    ``power=p`` computes A^p x with ONE widened (w*p) halo exchange —
-    the communication-avoiding okr-powers mode of the stencil paths
+    ``power=p`` computes A^p x with ONE widened (w*p) exchange per axis
+    — the communication-avoiding okr-powers mode of the stencil paths
     (``bsr_krylov_ca``; reference bsr.h:2109-2247) for IRREGULAR
     operators: the operator rows (blocks + indices) of the halo sites
     are exchanged alongside the field, then p shard-local applies run
@@ -169,7 +209,7 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     ``all_powers=True`` returns [A x, ..., A^p x] stacked on a new
     leading axis (the s-step Krylov basis); otherwise just A^p x.
     Each intermediate apply runs over the extended frame (a
-    (L+2wp)/L compute overhead vs the minimal trapezoid).
+    prod((L_a+2*w_a*p)/L_a) compute overhead vs the minimal trapezoid).
     """
     if power < 1:
         raise ValueError("power must be >= 1")
@@ -177,16 +217,15 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
         raise ValueError("requires a gather-mode operator")
     sharded = [(i, axes[c]) for i, c in enumerate(op.lat_d)
                if axes.get(c) is not None and mesh.shape[axes[c]] > 1]
-    if len(sharded) != 1:
-        raise ValueError(
-            "apply_gather_sharded shards exactly one lattice axis; got "
-            f"{len(sharded)}")
-    k, nm = sharded[0]
-    n = mesh.shape[nm]
+    if not sharded:
+        raise ValueError("apply_gather_sharded: no sharded lattice axis")
+    ks = tuple(k for k, _ in sharded)
+    nms = tuple(nm for _, nm in sharded)
+    ns = tuple(mesh.shape[nm] for nm in nms)
     nlat = len(op.dim_d)
     nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
 
-    key = (id(op), k, n, mesh, nm, nblk, power, all_powers)
+    key = (id(op), ks, ns, mesh, nms, nblk, power, all_powers)
     hit = _GATHER_CACHE.get(key) if plan is None else None
     if hit is not None:
         jj_dev, fn = hit
@@ -194,20 +233,34 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
                   op.kron if op.kron is not None else jnp.zeros((0,)),
                   jj_dev, x)
 
-    w, jj_local = plan if plan is not None else \
-        make_gather_halo_plan(op, k, n, power=power)
-    W = w * power
-    L = op.dim_d[k] // n
-    loc_core = op.dim_d[:k] + (L,) + op.dim_d[k + 1:]
-    loc_ext = op.dim_d[:k] + (L + 2 * W,) + op.dim_d[k + 1:]
+    if plan is not None:
+        w, jj_local = plan
+    elif len(ks) == 1:
+        w, jj_local = make_gather_halo_plan(op, ks[0], ns[0], power=power)
+    else:
+        w, jj_local = make_gather_halo_plan(op, ks, ns, power=power)
+    ws = (int(w),) if np.isscalar(w) else tuple(int(v) for v in w)
+    Ws = tuple(v * power for v in ws)
+    Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
+    loc_core = list(op.dim_d)
+    loc_ext = list(op.dim_d)
+    for k, L, W in zip(ks, Ls, Ws):
+        loc_core[k] = L
+        loc_ext[k] = L + 2 * W
+    loc_core, loc_ext = tuple(loc_core), tuple(loc_ext)
+    wdict = {k: W for k, W in zip(ks, Ws) if W}
+    ndict = {k: nm for k, nm in zip(ks, nms) if wdict.get(k)}
 
-    spec_lat = tuple(nm if i == k else None for i in range(nlat))
+    spec_lat = tuple(nms[ks.index(i)] if i in ks else None
+                     for i in range(nlat))
     spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
     bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
            else op.blocks.ndim)
     bspec = PartitionSpec(*spec_lat, *([None] * (bnd - nlat)))
+    jj_local = np.asarray(jj_local).reshape(ns + np.asarray(jj_local).shape[-2:])
     jj_dev = jax.device_put(
-        jnp.asarray(jj_local), NamedSharding(mesh, PartitionSpec(nm)))
+        jnp.asarray(jj_local), NamedSharding(mesh, PartitionSpec(*nms)))
+    jj_lead = len(ns)
 
     # the cached closure must NOT capture `op` (the cache entry would
     # keep it alive and the finalize-based eviction could never fire) —
@@ -221,12 +274,12 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     has_kron = op.kron is not None
 
     def body(blocks_l, kron_l, jj_l, x_l):
-        x_e = _extend(x_l, {k: nm}, {k: W}, mesh) if W else x_l
+        x_e = _extend(x_l, ndict, wdict, mesh) if wdict else x_l
         # powers apply the operator AT halo sites too: their rows
         # (per-site blocks) travel in the same exchange as the field
-        b_e = (blocks_l if power == 1 or W == 0
-               else _extend(blocks_l, {k: nm}, {k: W}, mesh))
-        lop = BSROperator(blocks=b_e, jj_flat=jj_l[0],
+        b_e = (blocks_l if power == 1 or not wdict
+               else _extend(blocks_l, ndict, wdict, mesh))
+        lop = BSROperator(blocks=b_e, jj_flat=jj_l[(0,) * jj_lead],
                           kron=kron_l if has_kron else None, **meta)
         fn = _apply_gather_kron if has_kron else _apply_gather
         if power == 1:
@@ -238,11 +291,11 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
         outs = []
         cur = x_e
         for _ in range(power):
-            cur = fn(lop, cur)     # ext -> ext; shells invalidate by w
+            cur = fn(lop, cur)    # ext -> ext; shells invalidate by w
             outs.append(cur)
         if not all_powers:
             outs = outs[-1:]
-        outs = [_crop(o, {k: W}) if W else o for o in outs]
+        outs = [_crop(o, wdict) if wdict else o for o in outs]
         if not all_powers:
             return outs[0]
         if cplx.is_carray(outs[0]):
@@ -253,8 +306,8 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     spec_out = PartitionSpec(None, *spec_x) if all_powers else spec_x
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(bspec, PartitionSpec(), PartitionSpec(nm, None, None),
-                  spec_x),
+        in_specs=(bspec, PartitionSpec(),
+                  PartitionSpec(*nms, None, None), spec_x),
         out_specs=spec_out, check_vma=False,
     )
     if plan is None:

@@ -164,3 +164,35 @@ def test_gather_sharded_ca_powers(kron):
     # power too large for the slab raises
     with pytest.raises(ValueError, match="planes past"):
         apply_gather_sharded(op, xs, mesh, axes, power=9)
+
+
+def test_gather_sharded_multi_axis():
+    """Two sharded lattice axes: per-axis halo plans compose (corners
+    ride the sequential per-axis extension), power=2 still takes one
+    widened exchange per axis."""
+    rng = np.random.default_rng(21)
+    dim = (8, 8, 6)
+    op = _irregular_op(dim, 2, 0, 1, rng)
+    assert op.mode == "gather"
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 3))))
+    w1 = B.bsr_krylov(1.0, op, x, "xyzcn")
+    w2 = B.bsr_krylov(1.0, op, w1, "xyzcn")
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("a", "b"))
+    spec = P("a", "b", None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    axes = {"x": "a", "y": "b", "z": None}
+
+    # the extra neighbor is random along y: width 2 on an 8-torus halved
+    ws, jj_local = make_gather_halo_plan(op, (0, 1), (2, 2))
+    assert ws == (1, 2) and jj_local.shape[:2] == (2, 2)
+
+    got = apply_gather_sharded(op, xs, mesh, axes)
+    assert got.re.sharding.spec == spec
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(w1.re), atol=1e-10)
+
+    got2 = apply_gather_sharded(op, xs, mesh, axes, power=2)
+    g2 = np.asarray(jax.device_put(got2.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(g2, np.asarray(w2.re), atol=1e-9)
