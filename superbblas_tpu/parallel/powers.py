@@ -66,10 +66,10 @@ def bsr_krylov_ca(
     reference has the same constraint: the ext_power support may not wrap
     past the neighbor, dist.h:3477-3509).
     """
-    if op.mode != "stencil":
+    if op.mode not in ("stencil", "gather"):
         raise ValueError(
-            "communication-avoiding powers require a (non-SoA) stencil "
-            "operator; see bsr_krylov for the general path")
+            "communication-avoiding powers run on stencil or gather "
+            "operators; SoA operators have apply_stencil_soa_sharded")
     if op.dim_i != op.dim_d or volume(op.bi) != volume(op.bd) or (
             op.kron is not None and volume(op.ki) != volume(op.kd)):
         raise ValueError("operator powers require a square operator")
@@ -96,7 +96,28 @@ def bsr_krylov_ca(
     N = volume(xc.shape[nlat + len(op.kron_d) + len(op.blk_d):])
     xc = _reshape(xc, lat_shape + ((KD, BD, N) if op.kron is not None
                                    else (BD, N)))
-    x_trail = xc.ndim - nlat
+    x_trail = (xc.re.ndim if cplx.is_carray(xc) else xc.ndim) - nlat
+
+    if op.mode == "gather":
+        # IRREGULAR operators: the halo-plan executor's CA mode (the
+        # per-site rows travel with the field; gather_sharded.py)
+        if any(axes.get(c) is not None and mesh.shape[axes[c]] > 1
+               for c in op.lat_d):
+            from .gather_sharded import apply_gather_sharded
+
+            stacked = apply_gather_sharded(op, xc, mesh, axes,
+                                           power=power, all_powers=True)
+        else:
+            from ..bsr import _apply_gather, _apply_gather_kron
+
+            fn = _apply_gather_kron if op.kron is not None else _apply_gather
+            outs, cur = [], xc
+            for _ in range(power):
+                cur = fn(op, cur)
+                outs.append(cur)
+            stacked = _stack(outs, axis=0)
+        return _finish_powers(op, x, ox, oy, okr, cols, alpha, power,
+                              stacked, user_complex)
 
     # per-axis halo widths (power shells of the stencil radius)
     radius = [max((abs(o[ax]) for o in op.offsets), default=0)
@@ -154,15 +175,19 @@ def bsr_krylov_ca(
         check_vma=False,
     )(op.blocks, kron_in, xc)
     # stacked: [power, *lat_i, KI?, BI, N]
+    return _finish_powers(op, x, ox, oy, okr, cols, alpha, power,
+                          stacked, user_complex)
 
-    def to_user(yc):
-        ki_shape = tuple(op.ki) if op.kron is not None else ()
-        shape = (power,) + tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
-            x.shape[ox.index(c)] for c in cols)
-        canon_y = okr + op.lat_i + op.kron_i + op.blk_i + cols
-        return local_permute(_reshape(yc, shape), canon_y, oy)
 
-    out = to_user(stacked)
+def _finish_powers(op, x, ox, oy, okr, cols, alpha, power, stacked,
+                   user_complex):
+    """Shared tail: reshape the canonical [power, *lat_i, KI?, BI, N]
+    stack to the user's oy labels, scale, restore complex."""
+    ki_shape = tuple(op.ki) if op.kron is not None else ()
+    shape = (power,) + tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
+        x.shape[ox.index(c)] for c in cols)
+    canon_y = okr + op.lat_i + op.kron_i + op.blk_i + cols
+    out = local_permute(_reshape(stacked, shape), canon_y, oy)
     if not (_is_static(alpha) and alpha == 1):
         out = cplx.scale(alpha, out)
     return cplx.to_complex(out) if user_complex else out

@@ -88,3 +88,32 @@ def test_ca_powers_width_check(mesh):
     with pytest.raises(ValueError, match="halo width"):
         bsr_krylov_ca(1.0, op, x_sh, "XYsn", mesh,
                       {"X": "X", "Y": "Y"}, power=5)
+
+
+def test_ca_powers_gather_mode(mesh):
+    """Gather-mode (irregular) operators route through the halo-plan CA
+    executor (gather_sharded.apply_gather_sharded all_powers) — oracle:
+    the unrolled bsr_krylov(okr=) on the replicated operand; the
+    unsharded case falls back to a local power loop."""
+    from test_gather_sharded import _irregular_op
+
+    rng = np.random.default_rng(9)
+    dim = (16, 4, 6)
+    op = _irregular_op(dim, 2, 0, 1, rng)
+    assert op.mode == "gather"
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 3))))
+    ref = B.bsr_krylov(2.0, op, x, "xyzcn", okr="p", power=2)
+
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh, P("X", None, None, None, None)))
+    out = bsr_krylov_ca(2.0, op, x_sh, "xyzcn", mesh, {"x": "X"}, power=2)
+    np.testing.assert_allclose(np.asarray(out.re), np.asarray(ref.re),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.im), np.asarray(ref.im),
+                               rtol=1e-10, atol=1e-10)
+
+    # no sharded lattice axis -> local unrolled fallback
+    out0 = bsr_krylov_ca(2.0, op, x, "xyzcn", mesh, {}, power=2)
+    np.testing.assert_allclose(np.asarray(out0.re), np.asarray(ref.re),
+                               rtol=1e-10, atol=1e-10)
