@@ -44,8 +44,10 @@ __all__ = ["make_gather_halo_plan", "apply_gather_sharded"]
 #: matvec, and rebuilding the O(voli*nnz*nd) host plan + re-uploading
 #: jj + re-tracing the shard_map each iteration would dominate the
 #: solve.  Entries die with the operator (weakref.finalize), so id()
-#: recycling cannot alias.
+#: recycling cannot alias; a FIFO cap bounds the pinned device index
+#: tensors for long-lived operators applied under many configurations.
 _GATHER_CACHE: dict = {}
+_GATHER_CACHE_MAX = 32
 
 
 def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
@@ -53,24 +55,29 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
     """Host-side halo plan for one or more sharded lattice axes.
 
     ``lat_axis``/``nshards``: an int pair (one sharded axis) or
-    equal-length tuples (multi-axis grids).  Returns ``(w, jj_local)``:
-    ``w`` is the PER-APPLY halo width per axis (max plane distance any
-    neighbor reaches outside its owner's slab — int for int input,
-    tuple for tuple input) and ``jj_local`` is int32
+    equal-length tuples (multi-axis grids).  Returns ``(W, jj_local)``:
+    ``W`` is the FRAME halo width per axis (int for int input, tuple
+    for tuple input) and ``jj_local`` is int32
     [n_0, ..., n_{m-1}, rows, nnz]: per-shard neighbor indices remapped
     into the halo-extended local frame (each sharded axis extent
-    local + 2*w_a*power, flattened C-order; the leading shard-grid axes
-    are collapsed for single-axis input).  The analog of the
-    reference's extended-domain index translation (bsr.h:2020-2116).
+    local + 2*W_a, flattened C-order; the leading shard-grid axes are
+    collapsed for single-axis input).  The analog of the reference's
+    extended-domain index translation (bsr.h:2020-2116).
 
-    ``power=1`` (one apply): rows = the shard's CORE sites only.
-    ``power=p>1`` (communication-avoiding powers, the okr-powers analog
-    of bsr.h:2109-2247 for irregular operators): rows = EVERY site of
-    the w*p-extended frame, so the operator can be applied p times
-    shard-locally after ONE widened exchange — outputs in the outer
-    ``t*w_a`` shells after apply t are garbage and progressively
-    discarded; neighbors that leave the frame (reachable only from
-    garbage rows) are clamped to index 0.
+    ``power=1`` (one apply): rows = the shard's CORE sites only, and
+    W_a is the max plane distance any core neighbor reaches outside
+    its owner's slab.  ``power=p>1`` (communication-avoiding powers,
+    the okr-powers analog of bsr.h:2109-2247 for irregular operators):
+    rows = EVERY site of the extended frame, so the operator can be
+    applied p times shard-locally after ONE widened exchange — outputs
+    progressively invalidate inward and the core stays exact.  W_a is
+    derived from the p-hop PLANE REACHABILITY of the core (per-axis
+    plane-adjacency closure), NOT w*p: a halo row may legally couple
+    far inside its own slab, so per-hop reach is unrelated to the
+    off-slab width (a plain w*p frame silently corrupts the core —
+    found by review).  A host-side validity iteration certifies every
+    core-feeding row reads only in-frame, valid operands and raises
+    otherwise; neighbors of certified-garbage rows are clamped to 0.
     """
     single = np.isscalar(lat_axis)
     ks = (int(lat_axis),) if single else tuple(int(a) for a in lat_axis)
@@ -92,28 +99,38 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
     coords = coords.reshape(voli, nnz, len(dim))
     sites = np.unravel_index(np.arange(voli), dim)
 
-    # per-axis halo width: neighbor position relative to the owner's
-    # slab start.  pos in [0, L) is core; outside, the neighbor is
-    # reachable from the high side (pos - L + 1 planes past the slab)
-    # or the low side (D - pos planes before it) — a torus offers both,
-    # so each neighbor NEEDS only the cheaper one (wrapped-interval
-    # pitfall, CLAUDE.md)
-    ws, Ws = [], []
+    # Per-axis FRAME width from p-hop plane reachability: adj[q0, q1] =
+    # some site in plane q0 couples to plane q1; reach_p = planes the
+    # core can touch through p hops.  The frame [rL-W, (r+1)L+W) must
+    # contain reach_p — measured by the TWO-SIDED toroidal distance
+    # (pos in [0, L) is core; outside, the plane is coverable from the
+    # high side, pos - L + 1 planes past the slab, or the low side,
+    # D - pos planes before it; the frame extends W both ways so each
+    # plane needs only the cheaper side — wrapped-interval pitfall,
+    # CLAUDE.md).  NOTE: per-hop reach is NOT bounded by the off-slab
+    # width w (halo rows couple within their own slabs), so W != w*p.
+    Ws = []
     for k, n, L in zip(ks, ns, Ls):
         D = dim[k]
-        own = sites[k] // L                         # owning shard per site
-        pos = (coords[..., k] - (own * L)[:, None]) % D
-        need = np.where(pos < L, 0,
-                        np.minimum(pos - L + 1, D - pos))
-        w = int(need.max(initial=0))
-        W = w * power                               # total halo width
+        adj = np.zeros((D, D), bool)
+        src = np.broadcast_to(sites[k][:, None], (voli, nnz))
+        adj[src.reshape(-1), coords[..., k].reshape(-1)] = True
+        W = 0
+        for r in range(n):
+            reach = np.zeros(D, bool)
+            reach[r * L:(r + 1) * L] = True
+            for _ in range(power):
+                reach = reach | adj[reach].any(axis=0)
+            pos = (np.nonzero(reach)[0] - r * L) % D
+            need = np.where(pos < L, 0,
+                            np.minimum(pos - L + 1, D - pos))
+            W = max(W, int(need.max(initial=0)))
         if W > L:
             raise ValueError(
-                f"gather offsets reach {W} planes past the shard (axis "
-                f"{k}: local extent {L}, width {w} x power {power}): "
-                "the one-ppermute exchange cannot source them — use the "
+                f"gather couplings reach {W} planes past the shard "
+                f"(axis {k}: local extent {L}, power {power}): the "
+                "one-ppermute exchange cannot source them — use the "
                 "replicated path or a lower power")
-        ws.append(w)
         Ws.append(W)
 
     exts = [L + 2 * W for L, W in zip(Ls, Ws)]
@@ -123,22 +140,16 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
     ext_dim = tuple(ext_dim)
 
     def remap(c, rs):
-        """Map neighbor coords -> ext-frame flat indices for shard rs
-        (clamp=True tolerates out-of-frame neighbors — garbage rows)."""
+        """Map neighbor coords -> (ext-frame flat indices, in-frame
+        mask) for shard rs; out-of-frame slots are clamped to 0 and
+        marked False in the mask."""
         lc = [c[..., a] for a in range(len(dim))]
-        for k, n, L, W, e in zip(ks, ns, Ls, Ws, exts):
+        ok = np.ones(c.shape[:-1], bool)
+        for k, L, W, e in zip(ks, Ls, Ws, exts):
             lpos = (c[..., k] - (rs[ks.index(k)] * L - W)) % dim[k]
-            if power == 1:
-                if (lpos >= e).any():
-                    raise ValueError(
-                        "neighbor outside the halo frame (plan width "
-                        "miscomputed)")   # defensive: w bounds this
-            else:
-                # out-of-frame neighbors are reachable only from garbage
-                # shells whose outputs are discarded — clamp, don't raise
-                lpos = np.where(lpos >= e, 0, lpos)
-            lc[k] = lpos
-        return np.ravel_multi_index(lc, ext_dim)
+            ok &= lpos < e
+            lc[k] = np.where(lpos >= e, 0, lpos)
+        return np.ravel_multi_index(lc, ext_dim), ok
 
     grid = list(itertools.product(*[range(n) for n in ns]))
     if power == 1:
@@ -152,7 +163,11 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
             sel = np.ones(voli, bool)
             for k, L, r in zip(ks, Ls, rs):
                 sel &= (sites[k] >= r * L) & (sites[k] < (r + 1) * L)
-            jj_local[gi] = remap(coords[sel], rs)
+            jj_local[gi], ok = remap(coords[sel], rs)
+            if not ok.all():
+                raise ValueError(
+                    "neighbor outside the halo frame (plan width "
+                    "miscomputed)")   # defensive: W bounds this
     else:
         # rows for the FULL extended frame, in frame C-order: take the
         # global per-site rows at the frame's global coordinates
@@ -160,18 +175,36 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
         rows = voli
         for n, L, e in zip(ns, Ls, exts):
             rows = rows // (n * L) * e
+        # core-row mask in frame C-order, shared by every shard
+        fpos = np.unravel_index(np.arange(rows), ext_dim)
+        core = np.ones(rows, bool)
+        for k, L, W in zip(ks, Ls, Ws):
+            core &= (fpos[k] >= W) & (fpos[k] < W + L)
         jj_local = np.empty((len(grid), rows, nnz), dtype=np.int64)
         for gi, rs in enumerate(grid):
             c = coords_g
             for k, L, W, e, r in zip(ks, Ls, Ws, exts, rs):
                 gk = (r * L - W + np.arange(e)) % dim[k]  # frame -> global
                 c = np.take(c, gk, axis=k)
-            jj_local[gi] = remap(c.reshape(-1, nnz, len(dim)), rs)
+            flat, ok = remap(c.reshape(-1, nnz, len(dim)), rs)
+            # validity certification: valid_1 = reads only in-frame
+            # (t=0 frame values are all exchanged-correct); valid_{t+1}
+            # = that AND every operand row was valid_t.  Every core row
+            # must be valid at t=power, else clamped garbage would feed
+            # a kept output — raise instead of silently corrupting.
+            ok_nb = ok.all(axis=1)
+            valid = ok_nb.copy()
+            for _ in range(power - 1):
+                valid = ok_nb & valid[flat].all(axis=1)
+            if not valid[core].all():
+                raise ValueError(
+                    "gather couplings escape the communication-avoiding "
+                    f"frame within {power} applies (validity "
+                    "certification failed) — use a lower power or the "
+                    "replicated path")
+            jj_local[gi] = flat
     jj_local = jj_local.reshape(ns + jj_local.shape[1:])
-    if single:
-        w_out = ws[0]
-    else:
-        w_out = tuple(ws)
+    w_out = Ws[0] if single else tuple(Ws)
     if int(jj_local.max(initial=0)) < np.iinfo(np.int32).max:
         jj_local = jj_local.astype(np.int32)
     return w_out, jj_local
@@ -200,16 +233,20 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     Krylov solve) pay the host-side plan build and upload once, like
     the redistribution plan cache.
 
-    ``power=p`` computes A^p x with ONE widened (w*p) exchange per axis
-    — the communication-avoiding okr-powers mode of the stencil paths
+    ``power=p`` computes A^p x with ONE widened exchange per axis — the
+    communication-avoiding okr-powers mode of the stencil paths
     (``bsr_krylov_ca``; reference bsr.h:2109-2247) for IRREGULAR
     operators: the operator rows (blocks + indices) of the halo sites
     are exchanged alongside the field, then p shard-local applies run
-    on the extended frame, shells invalidating inward by w per apply.
-    ``all_powers=True`` returns [A x, ..., A^p x] stacked on a new
-    leading axis (the s-step Krylov basis); otherwise just A^p x.
-    Each intermediate apply runs over the extended frame (a
-    prod((L_a+2*w_a*p)/L_a) compute overhead vs the minimal trapezoid).
+    on the extended frame, validity shrinking inward per apply.  The
+    frame width comes from the p-hop plane REACHABILITY of the core
+    (see :func:`make_gather_halo_plan`), and the plan certifies every
+    core-feeding row — operators whose couplings outrun the local slab
+    raise rather than silently corrupt.  ``all_powers=True`` returns
+    [A x, ..., A^p x] stacked on a new leading axis (the s-step Krylov
+    basis); otherwise just A^p x.  Each intermediate apply runs over
+    the extended frame (a prod(ext_a/L_a) compute overhead vs the
+    minimal trapezoid).
     """
     if power < 1:
         raise ValueError("power must be >= 1")
@@ -239,8 +276,8 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
         w, jj_local = make_gather_halo_plan(op, ks[0], ns[0], power=power)
     else:
         w, jj_local = make_gather_halo_plan(op, ks, ns, power=power)
-    ws = (int(w),) if np.isscalar(w) else tuple(int(v) for v in w)
-    Ws = tuple(v * power for v in ws)
+    # the plan returns FRAME halo widths (reach-based for power>1)
+    Ws = (int(w),) if np.isscalar(w) else tuple(int(v) for v in w)
     Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
     loc_core = list(op.dim_d)
     loc_ext = list(op.dim_d)
@@ -310,7 +347,12 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
                   PartitionSpec(*nms, None, None), spec_x),
         out_specs=spec_out, check_vma=False,
     )
+    # a cache hit must not re-trace the body per call; pin the output
+    # sharding so the full (un-normalized) spec survives the jit
+    fn = jax.jit(fn, out_shardings=NamedSharding(mesh, spec_out))
     if plan is None:
+        if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
+            _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
         _GATHER_CACHE[key] = (jj_dev, fn)
         weakref.finalize(op, _GATHER_CACHE.pop, key, None)
     kron_in = op.kron if op.kron is not None else jnp.zeros((0,))

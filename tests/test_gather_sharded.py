@@ -196,3 +196,52 @@ def test_gather_sharded_multi_axis():
     got2 = apply_gather_sharded(op, xs, mesh, axes, power=2)
     g2 = np.asarray(jax.device_put(got2.re, NamedSharding(mesh, P())))
     np.testing.assert_allclose(g2, np.asarray(w2.re), atol=1e-9)
+
+
+def test_ca_powers_within_slab_coupling():
+    """Review-found corruption case: a coupling that never leaves its
+    owner's SLAB (off-slab width contribution 0) still forces a wide
+    frame at power>1 — a halo row legally reads the far end of its own
+    slab, which a w*p frame misses.  The reach-based plan must either
+    produce exact core results or raise; it must never silently return
+    garbage."""
+    rng = np.random.default_rng(31)
+    dim = (16, 4, 4)
+    nd, nc = 3, 2
+    offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0)]
+    n = 4
+    L = dim[0] // n
+    ii = np.full(dim, len(offs) + 1, np.int64)
+    jj = np.zeros(dim + (len(offs) + 1, nd), np.int64)
+    vals = rng.standard_normal(dim + (len(offs) + 1, nc, nc))
+    for s in itertools.product(*[range(d) for d in dim]):
+        for kk, off in enumerate(offs):
+            jj[s][kk] = [(a + o) % d for a, o, d in zip(s, off, dim)]
+        # random coupling WITHIN the owner's slab along x, random y/z
+        t = [int(rng.integers(0, d)) for d in dim]
+        t[0] = (s[0] // L) * L + int(rng.integers(0, L))
+        jj[s][len(offs)] = t
+    op = B.create_bsr("xyzs", dim + (nc,), "xyzc", dim + (nc,),
+                      (1, 1, 1, nc), (1, 1, 1, nc), ii, jj,
+                      jnp.asarray(vals))
+    assert op.mode == "gather"
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (nc, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (nc, 3))))
+    w1 = B.bsr_krylov(1.0, op, x, "xyzcn")
+    w2 = B.bsr_krylov(1.0, op, w1, "xyzcn")
+
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+    spec = P("d", None, None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    axes = {"x": "d", "y": None, "z": None}
+
+    # frame must widen to the neighbor slabs: W = L (reach-based)
+    W, _ = make_gather_halo_plan(op, 0, n, power=2)
+    assert W == L, W
+    got = apply_gather_sharded(op, xs, mesh, axes, power=2)
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(w2.re), atol=1e-9)
+
+    # power=3 reaches the whole torus: W would exceed L -> honest raise
+    with pytest.raises(ValueError, match="planes past"):
+        make_gather_halo_plan(op, 0, n, power=3)

@@ -98,6 +98,21 @@ def main():
         print(f"{'Wilson matvec, %2d rhs (per rhs)' % ncols:44s} "
               f"{dt/ncols*1e6:8.1f}us {gf/1e3:10.2f} TFLOP/s")
 
+    # bf16 speed mode (bsr_cast_storage + bf16 fields, 8 rhs)
+    gf, _, dt = bench_bsr(storage=jnp.bfloat16, x_dtype=jnp.bfloat16)
+    print(f"{'Wilson matvec, bf16 end-to-end (8 rhs)':44s} "
+          f"{dt*1e3:8.3f}ms {gf/1e3:10.2f} TFLOP/s")
+
+    # explicit redistribution: the aligned-rows fast path and the
+    # gcd-degenerate unaligned geometry through the boxes packer
+    bench_mod = __import__("bench")
+    rd_gb, rd_dt = bench_mod.bench_redistribute()
+    print(f"{'explicit redistribution (aligned rows)':44s} "
+          f"{rd_dt*1e3:8.3f}ms {rd_gb:10.1f} GB/s")
+    ru_gb, ru_dt = bench_mod.bench_redistribute_unaligned()
+    print(f"{'explicit redistribution (unaligned, boxes)':44s} "
+          f"{ru_dt*1e3:8.3f}ms {ru_gb:10.1f} GB/s")
+
 
 if __name__ == "__main__":
     main()
