@@ -13,7 +13,9 @@ from .halo import crop_halos, exchange_halos
 from .overlap import bsr_krylov_overlap
 from .powers import bsr_krylov_ca
 from .multihost import initialize_distributed, make_multihost_mesh
-from .gather_sharded import apply_gather_sharded, make_gather_halo_plan
+from .gather_sharded import (apply_gather_overlap,
+                             apply_gather_sharded,
+                             make_gather_halo_plan)
 from .stencil_sharded import apply_stencil_soa_sharded
 from .redistribute import (
     make_plan,
@@ -44,6 +46,7 @@ __all__ = [
     "bsr_krylov_ca",
     "initialize_distributed",
     "make_multihost_mesh",
+    "apply_gather_overlap",
     "apply_gather_sharded",
     "apply_stencil_soa_sharded",
     "make_gather_halo_plan",

@@ -36,7 +36,8 @@ from ..bsr import BSROperator, _apply_gather, _apply_gather_kron
 from .halo import crop_halos as _crop
 from .halo import extend_local as _extend
 
-__all__ = ["make_gather_halo_plan", "apply_gather_sharded"]
+__all__ = ["make_gather_halo_plan", "apply_gather_sharded",
+           "apply_gather_overlap"]
 
 #: per-operator memo of (device index tensor, shard_mapped callable)
 #: keyed on (id(op), sharded-axes signature, mesh, nblk, power,
@@ -355,5 +356,145 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
             _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
         _GATHER_CACHE[key] = (jj_dev, fn)
         weakref.finalize(op, _GATHER_CACHE.pop, key, None)
+    kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
+    return fn(op.blocks, kron_in, jj_dev, x)
+
+
+def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
+                         axes: Dict[str, Optional[str]],
+                         just_local: bool = False):
+    """y = A x for a GATHER-mode operator with an explicit core/halo
+    split (the reference's create_lattice_split scheme applied to
+    irregular operators; tests/bsr.cpp:402-530, just_local bsr.h:2359).
+
+    The plan classifies every (row, slot) as CORE (neighbor inside the
+    local slab) or CROSSING.  The core contribution gathers from the
+    UN-extended local block — it has no data dependence on the posted
+    ppermutes, so XLA schedules it between the collective-permute
+    start/done pair (the overlap); the crossing contribution gathers
+    from the halo-extended frame and adds in afterwards.  Each side
+    masks the other's slots, so the dot runs twice over the slot axis
+    (the gather-bound regime makes this cheap; the stencil overlap path
+    splits per-direction instead and pays no extra FLOPs).
+
+    ``just_local=True`` skips the exchange and returns only the core
+    contribution (crossing terms dropped), like ``bsr_krylov_overlap``.
+    Memoized per (operator, mesh, axes, just_local) like
+    :func:`apply_gather_sharded`.
+    """
+    if op.mode != "gather":
+        raise ValueError("requires a gather-mode operator")
+    sharded = [(i, axes[c]) for i, c in enumerate(op.lat_d)
+               if axes.get(c) is not None and mesh.shape[axes[c]] > 1]
+    if not sharded:
+        raise ValueError("apply_gather_overlap: no sharded lattice axis")
+    ks = tuple(k for k, _ in sharded)
+    nms = tuple(nm for _, nm in sharded)
+    ns = tuple(mesh.shape[nm] for nm in nms)
+    nlat = len(op.dim_d)
+    nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
+
+    key = (id(op), "overlap", ks, ns, mesh, nms, nblk, just_local)
+    hit = _GATHER_CACHE.get(key)
+    if hit is not None:
+        jj_dev, fn = hit
+        return fn(op.blocks,
+                  op.kron if op.kron is not None else jnp.zeros((0,)),
+                  jj_dev, x)
+
+    if len(ks) == 1:
+        W, jj_local = make_gather_halo_plan(op, ks[0], ns[0])
+    else:
+        W, jj_local = make_gather_halo_plan(op, ks, ns)
+    Ws = (int(W),) if np.isscalar(W) else tuple(int(v) for v in W)
+    Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
+    loc_core = list(op.dim_d)
+    loc_ext = list(op.dim_d)
+    for k, L, Wa in zip(ks, Ls, Ws):
+        loc_core[k] = L
+        loc_ext[k] = L + 2 * Wa
+    loc_core, loc_ext = tuple(loc_core), tuple(loc_ext)
+    wdict = {k: Wa for k, Wa in zip(ks, Ws) if Wa}
+    ndict = {k: nm for k, nm in zip(ks, nms) if wdict.get(k)}
+
+    # classify slots: CORE = neighbor inside the local slab.  jj_local
+    # holds ext-frame flat indices; recover per-axis frame coords and
+    # derive (a) the local-slab flat index for core slots, (b) the mask.
+    jj_arr = np.asarray(jj_local).astype(np.int64)
+    lead = jj_arr.shape[:-2]
+    fco = np.unravel_index(jj_arr, loc_ext)           # per-axis coords
+    is_core = np.ones(jj_arr.shape, bool)
+    for k, L, Wa in zip(ks, Ls, Ws):
+        is_core &= (fco[k] >= Wa) & (fco[k] < Wa + L)
+    lco = list(fco)
+    for k, Wa in zip(ks, Ws):
+        lco[k] = np.where(is_core, fco[k] - Wa, 0)
+    jj_core = np.where(is_core, np.ravel_multi_index(lco, loc_core), 0)
+    jj_halo = np.where(is_core, 0, jj_arr)
+    pdt = (np.int32 if max(int(jj_arr.max(initial=0)), 1)
+           < np.iinfo(np.int32).max else np.int64)
+    # bundle: [*grid, rows, nnz, 3] = (core idx, halo idx, core mask)
+    bundle = np.stack([jj_core.astype(pdt), jj_halo.astype(pdt),
+                       is_core.astype(pdt)], axis=-1)
+    jj_dev = jax.device_put(
+        jnp.asarray(bundle), NamedSharding(mesh, PartitionSpec(*nms)))
+    jj_lead = len(ns)
+
+    spec_lat = tuple(nms[ks.index(i)] if i in ks else None
+                     for i in range(nlat))
+    spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
+    bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
+           else op.blocks.ndim)
+    bspec = PartitionSpec(*spec_lat, *([None] * (bnd - nlat)))
+
+    meta_core = dict(oim=op.oim, odm=op.odm, lat_i=op.lat_i,
+                     lat_d=op.lat_d, blk_i=op.blk_i, blk_d=op.blk_d,
+                     dim_i=loc_core, dim_d=loc_core, bi=op.bi, bd=op.bd,
+                     mode="gather", offsets=op.offsets, kron_i=op.kron_i,
+                     kron_d=op.kron_d, ki=op.ki, kd=op.kd)
+    meta_halo = dict(meta_core, dim_d=loc_ext)
+    has_kron = op.kron is not None
+
+    def body(blocks_l, kron_l, jj_l, x_l):
+        jj_b = jj_l[(0,) * jj_lead]
+        jjc, jjh, mk = jj_b[..., 0], jj_b[..., 1], jj_b[..., 2]
+        fn = _apply_gather_kron if has_kron else _apply_gather
+
+        def masked_blocks(m):
+            # zero the complementary slots INSIDE the blocks: the gather
+            # matvec then needs no operand-side masking.  mask is
+            # [rows, nnz] over [*lat, nnz, BI, BD] blocks.
+            msk = m.reshape(tuple(loc_core) + (m.shape[-1], 1, 1))
+            mul = lambda b: b * msk.astype(b.dtype)
+            return cplx.cmap(mul, blocks_l) if cplx.is_carray(blocks_l) \
+                else mul(blocks_l)
+
+        kr = kron_l if has_kron else None
+        core_op = BSROperator(blocks=masked_blocks(mk), jj_flat=jjc,
+                              kron=kr, **meta_core)
+        # 1. post the halos (async collective-permutes)
+        x_e = (None if just_local else
+               (_extend(x_l, ndict, wdict, mesh) if wdict else x_l))
+        # 2. core matvec: depends only on x_l — overlaps the permutes
+        y = fn(core_op, x_l)
+        if just_local:
+            return y
+        # 3. crossing contributions from the extended frame
+        halo_op = BSROperator(blocks=masked_blocks(1 - mk), jj_flat=jjh,
+                              kron=kr, **meta_halo)
+        yh = fn(halo_op, x_e)
+        return cplx.add(y, yh)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(bspec, PartitionSpec(),
+                  PartitionSpec(*nms, None, None, None), spec_x),
+        out_specs=spec_x, check_vma=False,
+    )
+    fn = jax.jit(fn, out_shardings=NamedSharding(mesh, spec_x))
+    if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
+        _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
+    _GATHER_CACHE[key] = (jj_dev, fn)
+    weakref.finalize(op, _GATHER_CACHE.pop, key, None)
     kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
     return fn(op.blocks, kron_in, jj_dev, x)

@@ -127,9 +127,10 @@ def bsr_krylov_overlap(
     returns only the core contribution (reference ``just_local``,
     bsr.h:2353-2359) — boundary-crossing neighbor terms are dropped.
     """
-    if op.mode != "stencil":
-        raise ValueError("the overlap path requires a (non-SoA) stencil "
-                         "operator")
+    if op.mode not in ("stencil", "gather"):
+        raise ValueError("the overlap path runs on stencil or gather "
+                         "operators; SoA operators have "
+                         "apply_stencil_soa_sharded")
     check_order(ox)
     user_complex = (not cplx.is_carray(x)) and jnp.iscomplexobj(x)
     if user_complex:
@@ -151,7 +152,25 @@ def bsr_krylov_overlap(
     N = volume(xc.shape[nlat + len(op.kron_d) + len(op.blk_d):])
     xc = _reshape(xc, lat_shape + ((KD, BD, N) if op.kron is not None
                                    else (BD, N)))
-    x_trail = xc.ndim - nlat
+    x_trail = (xc.re.ndim if cplx.is_carray(xc) else xc.ndim) - nlat
+
+    if op.mode == "gather":
+        # IRREGULAR operators: the halo-plan overlap executor (per-slot
+        # core/crossing split; gather_sharded.apply_gather_overlap)
+        if any(axes.get(c) is not None and mesh.shape[axes[c]] > 1
+               for c in op.lat_d):
+            from .gather_sharded import apply_gather_overlap
+
+            yc = apply_gather_overlap(op, xc, mesh, axes,
+                                      just_local=just_local)
+        else:
+            # unsharded: nothing crosses — just_local == the full apply
+            from ..bsr import _apply_gather, _apply_gather_kron
+
+            fn = _apply_gather_kron if op.kron is not None else _apply_gather
+            yc = fn(op, xc)
+        return _finish_overlap(op, x, ox, oy, cols, alpha, beta, y, yc,
+                               user_complex)
 
     radius = [max((abs(o[ax]) for o in op.offsets), default=0)
               for ax in range(nlat)]
@@ -271,14 +290,18 @@ def bsr_krylov_overlap(
         check_vma=False,
     )(op.blocks, kron_in, xc)
 
-    def to_user(v):
-        ki_shape = tuple(op.ki) if op.kron is not None else ()
-        shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
-            x.shape[ox.index(c)] for c in cols)
-        canon_y = op.lat_i + op.kron_i + op.blk_i + cols
-        return local_permute(_reshape(v, shape), canon_y, oy)
+    return _finish_overlap(op, x, ox, oy, cols, alpha, beta, y, yc,
+                           user_complex)
 
-    out = to_user(yc)
+
+def _finish_overlap(op, x, ox, oy, cols, alpha, beta, y, yc, user_complex):
+    """Shared tail: reshape the canonical [*lat_i, KI?, BI, N] result to
+    the user's oy labels, scale, accumulate beta*y, restore complex."""
+    ki_shape = tuple(op.ki) if op.kron is not None else ()
+    shape = tuple(op.dim_i) + ki_shape + tuple(op.bi) + tuple(
+        x.shape[ox.index(c)] for c in cols)
+    canon_y = op.lat_i + op.kron_i + op.blk_i + cols
+    out = local_permute(_reshape(yc, shape), canon_y, oy)
     if not (_is_static(alpha) and alpha == 1):
         out = cplx.scale(alpha, out)
     if y is not None and not (_is_static(beta) and beta == 0):
