@@ -45,10 +45,33 @@ __all__ = ["make_gather_halo_plan", "apply_gather_sharded",
 #: matvec, and rebuilding the O(voli*nnz*nd) host plan + re-uploading
 #: jj + re-tracing the shard_map each iteration would dominate the
 #: solve.  Entries die with the operator (weakref.finalize), so id()
-#: recycling cannot alias; a FIFO cap bounds the pinned device index
+#: recycling cannot alias; an LRU cap bounds the pinned device index
 #: tensors for long-lived operators applied under many configurations.
 _GATHER_CACHE: dict = {}
 _GATHER_CACHE_MAX = 32
+_FINALIZER_KEYS: set = set()     # keys with a live weakref.finalize
+
+
+def _cache_get(key):
+    hit = _GATHER_CACHE.get(key)
+    if hit is not None:
+        _GATHER_CACHE[key] = _GATHER_CACHE.pop(key)   # LRU refresh
+    return hit
+
+
+def _cache_put(op, key, value):
+    if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
+        _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
+    _GATHER_CACHE[key] = value
+    # one finalizer per key across rebuild-after-eviction cycles
+    if key not in _FINALIZER_KEYS:
+        _FINALIZER_KEYS.add(key)
+        weakref.finalize(op, _evict, key)
+
+
+def _evict(key):
+    _GATHER_CACHE.pop(key, None)
+    _FINALIZER_KEYS.discard(key)
 
 
 def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
@@ -96,6 +119,14 @@ def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
     Ls = [dim[k] // n for k, n in zip(ks, ns)]
     jj = np.asarray(op.jj_flat)                     # [voli, nnz]
     voli, nnz = jj.shape
+    if op.row_counts is not None:
+        # padded slots (>= row_counts) carry arbitrary indices with
+        # ZEROED blocks — treat them as self-couplings so they neither
+        # inflate the halo width nor fail the reach check (ragged
+        # open-boundary/defect operators are this module's target)
+        rc = np.asarray(op.row_counts).reshape(-1)
+        jj = np.where(np.arange(nnz)[None, :] < rc[:, None],
+                      jj, np.arange(voli, dtype=jj.dtype)[:, None])
     coords = np.stack(np.unravel_index(jj.reshape(-1), dim), axis=-1)
     coords = coords.reshape(voli, nnz, len(dim))
     sites = np.unravel_index(np.arange(voli), dim)
@@ -264,7 +295,7 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
 
     key = (id(op), ks, ns, mesh, nms, nblk, power, all_powers)
-    hit = _GATHER_CACHE.get(key) if plan is None else None
+    hit = _cache_get(key) if plan is None else None
     if hit is not None:
         jj_dev, fn = hit
         return fn(op.blocks,
@@ -352,10 +383,7 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     # sharding so the full (un-normalized) spec survives the jit
     fn = jax.jit(fn, out_shardings=NamedSharding(mesh, spec_out))
     if plan is None:
-        if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
-            _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
-        _GATHER_CACHE[key] = (jj_dev, fn)
-        weakref.finalize(op, _GATHER_CACHE.pop, key, None)
+        _cache_put(op, key, (jj_dev, fn))
     kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
     return fn(op.blocks, kron_in, jj_dev, x)
 
@@ -395,7 +423,7 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
     nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
 
     key = (id(op), "overlap", ks, ns, mesh, nms, nblk, just_local)
-    hit = _GATHER_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None:
         jj_dev, fn = hit
         return fn(op.blocks,
@@ -421,11 +449,15 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
     # holds ext-frame flat indices; recover per-axis frame coords and
     # derive (a) the local-slab flat index for core slots, (b) the mask.
     jj_arr = np.asarray(jj_local).astype(np.int64)
-    lead = jj_arr.shape[:-2]
     fco = np.unravel_index(jj_arr, loc_ext)           # per-axis coords
     is_core = np.ones(jj_arr.shape, bool)
     for k, L, Wa in zip(ks, Ls, Ws):
         is_core &= (fco[k] >= Wa) & (fco[k] < Wa + L)
+    if bool(is_core.all()):
+        # nothing crosses: the crossing matvec would gather a full
+        # frame of zero-masked blocks for no contribution — the plain
+        # single-apply path IS the overlap result
+        return apply_gather_sharded(op, x, mesh, axes)
     lco = list(fco)
     for k, Wa in zip(ks, Ws):
         lco[k] = np.where(is_core, fco[k] - Wa, 0)
@@ -492,9 +524,6 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
         out_specs=spec_x, check_vma=False,
     )
     fn = jax.jit(fn, out_shardings=NamedSharding(mesh, spec_x))
-    if len(_GATHER_CACHE) >= _GATHER_CACHE_MAX:
-        _GATHER_CACHE.pop(next(iter(_GATHER_CACHE)))
-    _GATHER_CACHE[key] = (jj_dev, fn)
-    weakref.finalize(op, _GATHER_CACHE.pop, key, None)
+    _cache_put(op, key, (jj_dev, fn))
     kron_in = op.kron if op.kron is not None else jnp.zeros((0,))
     return fn(op.blocks, kron_in, jj_dev, x)

@@ -84,7 +84,6 @@ def bsr_krylov_ca(
     check_order(oy)
     if okr not in oy:
         raise ValueError(f"power label {okr!r} not in oy={oy!r}")
-    oy_data = "".join(c for c in oy if c != okr)
 
     # canonical x: [*lat_d, KD?, BD, N]
     canon_x = op.lat_d + op.kron_d + op.blk_d + cols

@@ -298,3 +298,81 @@ def test_gather_overlap_matches_oracle():
     out = bsr_krylov_overlap(2.0, op, xs, "xyzcn", mesh, axes)
     orr = np.asarray(jax.device_put(out.re, NamedSharding(mesh, P())))
     np.testing.assert_allclose(orr, 2.0 * np.asarray(want.re), atol=1e-9)
+
+
+def test_gather_plan_ignores_padded_slots():
+    """Padded jj slots (>= row_counts, blocks zeroed by create_bsr) must
+    not inflate the halo width or fail the reach check (review finding:
+    padding conventionally points at site 0, which reads as a coupling
+    to the far side of the lattice): a ragged operator whose REAL
+    couplings stay within one plane plans at W=1/W=2 and matches the
+    replicated oracle."""
+    from superbblas_tpu.parallel import apply_gather_overlap
+
+    dim = (16, 4, 4)
+    nc, n = 2, 4
+    rng = np.random.default_rng(61)
+    maxnnz = 5
+    ii = np.zeros(dim, np.int64)
+    jj = np.zeros(dim + (maxnnz, 3), np.int64)   # padding -> site 0
+    vals = np.zeros(dim + (maxnnz, nc, nc))
+    offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0)]
+    for s in itertools.product(*[range(d) for d in dim]):
+        for kk, off in enumerate(offs):
+            jj[s][kk] = [(a + o) % d for a, o, d in zip(s, off, dim)]
+            vals[s][kk] = rng.standard_normal((nc, nc))
+        cnt = len(offs)
+        if (s[0] + s[1]) % 2:                    # ragged: extra random slot
+            t = [int(rng.integers(0, d)) for d in dim]
+            t[0] = (s[0] + int(rng.integers(-1, 2))) % dim[0]
+            jj[s][cnt] = t
+            vals[s][cnt] = rng.standard_normal((nc, nc))
+            cnt += 1
+        ii[s] = cnt
+    op = B.create_bsr("xyzs", dim + (nc,), "xyzc", dim + (nc,),
+                      (1, 1, 1, nc), (1, 1, 1, nc), ii, jj,
+                      jnp.asarray(vals))
+    assert op.mode == "gather" and op.row_counts is not None
+    W, _ = make_gather_halo_plan(op, 0, n)
+    assert W == 1, W
+    W2, _ = make_gather_halo_plan(op, 0, n, power=2)
+    assert W2 == 2, W2
+
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (nc, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (nc, 3))))
+    w1 = B.bsr_krylov(1.0, op, x, "xyzcn")
+    w2 = B.bsr_krylov(1.0, op, w1, "xyzcn")
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("d",))
+    spec = P("d", None, None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    axes = {"x": "d", "y": None, "z": None}
+    got = apply_gather_sharded(op, xs, mesh, axes, power=2)
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(w2.re), atol=1e-9)
+    gov = apply_gather_overlap(op, xs, mesh, axes)
+    gvr = np.asarray(jax.device_put(gov.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gvr, np.asarray(w1.re), atol=1e-9)
+
+
+def test_gather_overlap_kron_multiaxis():
+    """Overlap executor on the kron-factored variant over a 2x2 mesh —
+    the masked-blocks reshape and per-axis core classification under
+    multi-axis sharding, vs the replicated oracle."""
+    from superbblas_tpu.parallel import apply_gather_overlap
+
+    rng = np.random.default_rng(71)
+    dim = (8, 8, 6)
+    op = _irregular_op(dim, 2, 0, 1, rng, kron=True)
+    assert op.mode == "gather" and op.kron is not None
+    x = cplx.CArray(jnp.asarray(rng.standard_normal(dim + (2, 2, 3))),
+                    jnp.asarray(rng.standard_normal(dim + (2, 2, 3))))
+    want = B.bsr_krylov(1.0, op, x, "xyzCcn")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("a", "b"))
+    spec = P("a", "b", None, None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    axes = {"x": "a", "y": "b", "z": None}
+    got = apply_gather_overlap(op, xs, mesh, axes)
+    gr = np.asarray(jax.device_put(got.re, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(gr, np.asarray(want.re), atol=1e-9)
+    jl = apply_gather_overlap(op, xs, mesh, axes, just_local=True)
+    jax.block_until_ready(jl.re)
