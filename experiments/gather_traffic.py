@@ -76,20 +76,41 @@ f = jax.jit(lambda v: B.bsr_krylov(1.0, op, v, "xyztcn"))
 compiled = f.lower(xs).compile()
 hlo = compiled.as_text()
 
+import collections
+
+_ITEM = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4}
+
+
+def _line_stats(hlo2):
+    """Per-kind (count, result bytes) from optimized-HLO text: the
+    result type precedes the op kind (`%n = f32[...] all-reduce(`)."""
+    kinds = collections.Counter()
+    nbytes = collections.Counter()
+    for line in hlo2.splitlines():
+        m = re.search(
+            r"(all-gather|all-to-all|collective-permute|all-reduce|"
+            r"reduce-scatter)(?:-start)?\(", line)
+        if not m or " = " not in line:
+            continue
+        kind = m.group(1)
+        kinds[kind] += 1
+        for tm in re.finditer(r"(f32|f64|bf16|s32)\[([\d,]*)\]",
+                              line.split(kind + "(")[0].split(" = ")[-1]
+                              if (kind + "(") in line else ""):
+            shp = [int(v) for v in tm.group(2).split(",") if v]
+            nbytes[kind] += _ITEM[tm.group(1)] * int(np.prod(shp or [1]))
+    return kinds, nbytes
+
+
 field_bytes = x.size * 4
 halo_planes = 2 * int(np.prod(dim[1:])) * nc * N * 4    # +-1 plane
-stats = {}
-for m in re.finditer(r"(all-gather|all-to-all|collective-permute|"
-                     r"all-reduce|reduce-scatter)[^=]*?"
-                     r"f32\[([\d,]+)\]", hlo):
-    kind = m.group(1)
-    nel = int(np.prod([int(v) for v in m.group(2).split(",")]))
-    stats.setdefault(kind, []).append(nel * 4)
+kinds0, bytes0 = _line_stats(hlo)
 print(f"field bytes/device = {field_bytes // 8}, "
       f"minimal halo bytes/device = {halo_planes}")
-for k, v in stats.items():
-    print(f"{k}: {len(v)} ops, {sum(v)} bytes total (per-device output)")
-if not stats:
+for k in kinds0:
+    print(f"{k}: {kinds0[k]} ops, {bytes0[k]} bytes total "
+          "(per-device output)")
+if not kinds0:
     print("no collectives matched — dumping op names:")
     for line in hlo.splitlines():
         if "all-" in line or "collective" in line:
@@ -103,15 +124,37 @@ if not stats:
 #   path below (parallel/gather_sharded.py, shipped from this probe)
 #   emits ONLY the 2 collective-permutes of the halo exchange.
 if "--bounded" in sys.argv:
-    from superbblas_tpu.parallel import apply_gather_sharded
+    import collections
+
+    from superbblas_tpu.parallel import (apply_gather_overlap,
+                                         apply_gather_sharded)
 
     xs_c = cplx.CArray(xs, jnp.zeros_like(xs))
     axes = {c: ("d" if i == 0 else None) for i, c in enumerate("xyzt")}
-    hlo2 = jax.jit(lambda v: apply_gather_sharded(op, v, mesh, axes)) \
-        .lower(xs_c).compile().as_text()
-    import collections
-    kinds = collections.Counter(
-        m.group(1) for m in re.finditer(
-            r" (all-gather|all-to-all|collective-permute|all-reduce|"
-            r"reduce-scatter)\(", hlo2))
-    print("halo path collectives:", dict(kinds))
+
+    def cstats(fn, label):
+        hlo2 = jax.jit(fn).lower(xs_c).compile().as_text()
+        kinds, nbytes = _line_stats(hlo2)
+        print(f"{label}: ops={dict(kinds)} bytes={dict(nbytes)}")
+        return nbytes
+
+    b1 = cstats(lambda v: apply_gather_sharded(op, v, mesh, axes),
+                "halo path (power=1)")
+    b2 = cstats(lambda v: apply_gather_sharded(op, v, mesh, axes,
+                                               power=2),
+                "CA path (power=2, one widened exchange incl. op rows)")
+    bo = cstats(lambda v: apply_gather_overlap(op, v, mesh, axes),
+                "overlap path (core dot independent of the permutes)")
+    cp1 = b1.get("collective-permute", 0)
+    cp2 = b2.get("collective-permute", 0)
+    print(f"CA break-even: one power=2 exchange moves {cp2} B vs "
+          f"{2 * cp1} B for two plain exchanges "
+          f"({cp2 / max(2 * cp1, 1):.2f}x bytes for 1/2 the latency "
+          f"rounds; op-row shipping dominates when blocks outweigh "
+          f"fields)")
+    # FINDING (this run, --bounded, W=1): the plain halo path permutes
+    # only the field planes; the CA path additionally ships the halo
+    # rows' blocks (nnz*BI*BD vs KD*N per site) in the same round —
+    # byte-profitable when N*KD >~ nnz*BI, latency-profitable always.
+    # The overlap path moves the same bytes as plain; its win is the
+    # core dot having no data dependence on the permute start/done.
