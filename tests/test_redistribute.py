@@ -741,3 +741,26 @@ def test_validate_overlap_sweep():
         [[(0,), (0,), (5,)], [(3,), (3,), (5,)]])
     with pytest.raises(ValueError, match="more than once"):
         plan1._validate()
+
+
+def test_pack_global_device_jit_cache(mesh1d):
+    """pack/unpack_global_device memoize their jitted closures per
+    (partition, mesh/sharding) — jax.jit keys on function identity, so
+    per-call closures would recompile the static slice/scatter graphs
+    every invocation (review finding)."""
+    from superbblas_tpu.parallel import Partition
+
+    dim = (8, 4)
+    part = Partition(dim=dim, boxes=tuple(
+        (((2 * r) % 8, 0), (2, 4)) for r in range(8)))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(dim))
+    xg = jax.device_put(x, NamedSharding(mesh1d, P()))
+    n0 = len(R._DEVICE_PACK_CACHE)
+    s1 = R.pack_global_device(xg, part, mesh1d, "p")
+    s2 = R.pack_global_device(xg, part, mesh1d, "p")
+    assert len(R._DEVICE_PACK_CACHE) == n0 + 1   # one entry, two calls
+    g1 = R.unpack_global_device(s1, part)
+    g2 = R.unpack_global_device(s2, part)
+    assert len(R._DEVICE_PACK_CACHE) == n0 + 2
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(x))
