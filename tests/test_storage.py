@@ -475,3 +475,39 @@ def test_save_stream_unblocked_crc(tmp_path, monkeypatch):
     got = S.load(1.0, sto, np.zeros(dim), "xy")
     np.testing.assert_array_equal(got, y)
     S.close_storage(sto)
+
+
+def test_save_stream_byteswapped_file(tmp_path):
+    """save_stream into a byteswapped (big-endian, reference-written)
+    file must keep the declared byte order through the row-subrange
+    writes and leave the raw bytes big-endian."""
+    import struct
+
+    path = str(tmp_path / "bes.s3t")
+    dim = (4, 3)
+    vals = (np.arange(12) * 0.5).reshape(dim)
+    meta = b"be!"
+    pad = b"\x00" * ((8 - len(meta) % 8) % 8)
+    hdr = struct.pack(">6i", 314, 0, 1, 0, 2, len(meta)) + meta + pad
+    hdr += np.asarray(dim, dtype=">f8").tobytes()
+    hdr += struct.pack(">d", float(64 * 1024 * 1024))
+    hdr += struct.pack(">d", 1.0)
+    chunk = struct.pack(">d", 1.0)
+    chunk += np.asarray((0, 0), dtype=">f8").tobytes()
+    chunk += np.asarray(dim, dtype=">f8").tobytes()
+    chunk += vals.astype(">f8").tobytes()
+    with open(path, "wb") as f:
+        f.write(hdr + chunk)
+
+    sto = S.open_storage(path, mode="r+")
+    assert sto.byteswap
+    y = vals.copy()
+    y[1:3] = 9.0
+    S.save_stream(sto, [((1, 0), y[1:3])])
+    got = S.load(1.0, sto, np.zeros(dim), "xy")
+    np.testing.assert_array_equal(got, y)
+    S.close_storage(sto)
+    with open(path, "rb") as f:
+        raw = f.read()
+    arr = np.frombuffer(raw[-12 * 8:], dtype=">f8").reshape(dim)
+    np.testing.assert_array_equal(arr, y)
