@@ -555,3 +555,143 @@ def test_domain_wall_soa_matches_aos():
     np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
                                rtol=3e-4, atol=3e-4)
     assert op_s.flops_per_matvec(n) > 0
+
+
+def test_mobius_reduces_to_shamir():
+    """Moebius at b5=1, c5=0 IS Shamir: the 27-offset AoS stencil (the
+    corner couplings vanish with c5=0) must equal domain_wall_operator's
+    11-offset form on random operands."""
+    from superbblas_tpu.models import (apply_domain_wall,
+                                       domain_wall_operator,
+                                       mobius_operator)
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    lat = (2, 2, 2, 4)
+    Ls = 4
+    rng = np.random.default_rng(8)
+    links = random_su3_links(rng, lat)
+    dw = domain_wall_operator(lat, Ls=Ls, M5=1.7, m_f=0.08, links=links)
+    mb = mobius_operator(lat, Ls=Ls, M5=1.7, m_f=0.08, b5=1.0, c5=0.0,
+                         links=links)
+    x = rng.standard_normal((Ls,) + lat + (4, 3, 2)) \
+        + 1j * rng.standard_normal((Ls,) + lat + (4, 3, 2))
+    y_dw = apply_domain_wall(dw, jnp.asarray(x))
+    y_mb = apply_domain_wall(mb, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_mb), np.asarray(y_dw),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_mobius_r5g5_adjoint_pair():
+    """Moebius with c5 != 0 is NOT gamma5-R5-hermitian by itself (the
+    D_W Lambda cross-term does not commute through P_-+ — this is why
+    production codes implement Mdag explicitly); the true identity is
+    that the two projector orderings are adjoint partners:
+    (Gamma5 R5) D_right (Gamma5 R5) = D_left^H."""
+    from superbblas_tpu.models import apply_domain_wall, mobius_operator
+    from superbblas_tpu.models.wilson import gamma_matrices, random_su3_links
+
+    lat, Ls = (2, 2, 2, 2), 4
+    rng = np.random.default_rng(3)
+    links = random_su3_links(rng, lat)
+    kw = dict(Ls=Ls, M5=1.6, m_f=0.1, b5=1.4, c5=0.4, links=links)
+    m_r = mobius_operator(lat, **kw)
+    m_l = mobius_operator(lat, projector_side="left", **kw)
+
+    V = Ls * int(np.prod(lat))
+    n = V * 12
+    eye = np.eye(n).reshape((Ls,) + lat + (4, 3, n))
+    x = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
+
+    def mat(op):
+        y = apply_domain_wall(op, x)
+        return (np.asarray(y.re) + 1j * np.asarray(y.im)).reshape(n, n)
+
+    Dr, Dl = mat(m_r), mat(m_l)
+    g = gamma_matrices()
+    g5 = g[0] @ g[1] @ g[2] @ g[3]
+    R5 = np.zeros((Ls, Ls))
+    R5[np.arange(Ls), Ls - 1 - np.arange(Ls)] = 1.0
+    S = np.kron(R5, np.kron(np.eye(int(np.prod(lat))),
+                            np.kron(g5, np.eye(3))))
+    np.testing.assert_allclose(S @ Dr @ S, Dl.conj().T, atol=1e-10)
+    # and the naive symmetry really is broken at c5 != 0
+    assert np.abs(S @ Dr @ S - Dr.conj().T).max() > 1e-3
+
+
+def test_mobius_soa_matches_aos():
+    """Moebius on the SoA hot path — ONE Wilson kernel call via
+    D_M = D_W(b5 x + c5 Hx) + x - Hx — equals the 27-offset AoS
+    stencil."""
+    from superbblas_tpu.models import apply_domain_wall, mobius_operator
+    from superbblas_tpu.models.domain_wall import DomainWallSoAOperator
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    lat = (2, 2, 8, 128)
+    Ls = 4
+    rng = np.random.default_rng(9)
+    links = random_su3_links(rng, lat)
+    op_a = mobius_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, b5=1.5, c5=0.5,
+                           links=links, dtype=jnp.complex64)
+    op_s = mobius_operator(lat, Ls=Ls, M5=1.8, m_f=0.1, b5=1.5, c5=0.5,
+                           links=links, dtype=jnp.complex64,
+                           layout="soa")
+    assert isinstance(op_s, DomainWallSoAOperator) and op_s.mobius
+
+    n = 2
+    shape_aos = (Ls,) + lat + (4, 3, n)
+    x = rng.standard_normal(shape_aos).astype(np.float32)
+    xi = rng.standard_normal(shape_aos).astype(np.float32)
+    xC = cplx.CArray(jnp.asarray(x), jnp.asarray(xi))
+    y_aos = apply_domain_wall(op_a, xC)
+
+    def to_soa(a):
+        a = jnp.transpose(a, (7, 0, 5, 6, 1, 2, 3, 4))
+        return a.reshape(n, Ls, 12, *lat)
+    x_soa = cplx.cmap(to_soa, xC)
+    y_soa = apply_domain_wall(op_s, x_soa)
+
+    def from_soa(a):
+        a = a.reshape(n, Ls, 4, 3, *lat)
+        return jnp.transpose(a, (1, 4, 5, 6, 7, 2, 3, 0))
+    y_back = cplx.cmap(from_soa, y_soa)
+    np.testing.assert_allclose(np.asarray(y_back.re), np.asarray(y_aos.re),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_mobius_left_soa_matches_aos():
+    """The LEFT (dagger-partner) projector ordering on the hot path:
+    one kernel call via D_M x = b5 u + x + H(c5 u - x), u = D_W x."""
+    from superbblas_tpu.models import apply_domain_wall, mobius_operator
+    from superbblas_tpu.models.wilson import random_su3_links
+
+    lat = (2, 2, 8, 128)
+    Ls = 4
+    rng = np.random.default_rng(13)
+    links = random_su3_links(rng, lat)
+    kw = dict(Ls=Ls, M5=1.8, m_f=0.1, b5=1.5, c5=0.5, links=links,
+              dtype=jnp.complex64, projector_side="left")
+    op_a = mobius_operator(lat, **kw)
+    op_s = mobius_operator(lat, layout="soa", **kw)
+
+    n = 2
+    shape_aos = (Ls,) + lat + (4, 3, n)
+    x = rng.standard_normal(shape_aos).astype(np.float32)
+    xi = rng.standard_normal(shape_aos).astype(np.float32)
+    xC = cplx.CArray(jnp.asarray(x), jnp.asarray(xi))
+    y_aos = apply_domain_wall(op_a, xC)
+
+    def to_soa(a):
+        a = jnp.transpose(a, (7, 0, 5, 6, 1, 2, 3, 4))
+        return a.reshape(n, Ls, 12, *lat)
+    y_soa = apply_domain_wall(op_s, cplx.cmap(to_soa, xC))
+
+    def from_soa(a):
+        a = a.reshape(n, Ls, 4, 3, *lat)
+        return jnp.transpose(a, (1, 4, 5, 6, 7, 2, 3, 0))
+    y_back = cplx.cmap(from_soa, y_soa)
+    np.testing.assert_allclose(np.asarray(y_back.re), np.asarray(y_aos.re),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(y_back.im), np.asarray(y_aos.im),
+                               rtol=3e-4, atol=3e-4)
