@@ -338,8 +338,10 @@ def mobius_operator(
                 lat_dims[0], 1).repeat(lat_dims[1], 2).repeat(
                 lat_dims[2], 3).repeat(lat_dims[3], 4))
     # corners: c5 * lambda_s * (hop_mu @ P) for "right" (project, then
-    # hop) vs (P @ hop_mu) for "left" (hop, then project)
-    for soff, lam, PC in ((1, lam_p, PmC), (-1, lam_m, PpC)):
+    # hop) vs (P @ hop_mu) for "left" (hop, then project); all zero at
+    # c5 == 0 (Shamir) — skip the 16 offsets entirely
+    for soff, lam, PC in (() if c5 == 0 else
+                          ((1, lam_p, PmC), (-1, lam_m, PpC))):
         for (s4, mu), blk in hops:
             off = [0] * 5
             off[0] = soff
