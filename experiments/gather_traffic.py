@@ -83,20 +83,23 @@ _ITEM = {"f32": 4, "f64": 8, "bf16": 2, "s32": 4}
 
 def _line_stats(hlo2):
     """Per-kind (count, result bytes) from optimized-HLO text: the
-    result type precedes the op kind (`%n = f32[...] all-reduce(`)."""
+    result type precedes the op kind (`%n = f32[...] all-reduce(`).
+    Async pairs count the `-start` line only (its result carries the
+    payload shape; the `-done` adds nothing)."""
     kinds = collections.Counter()
     nbytes = collections.Counter()
     for line in hlo2.splitlines():
         m = re.search(
             r"(all-gather|all-to-all|collective-permute|all-reduce|"
-            r"reduce-scatter)(?:-start)?\(", line)
+            r"reduce-scatter)(-start)?\(", line)
         if not m or " = " not in line:
+            continue
+        if m.group(1) + "-done(" in line:
             continue
         kind = m.group(1)
         kinds[kind] += 1
-        for tm in re.finditer(r"(f32|f64|bf16|s32)\[([\d,]*)\]",
-                              line.split(kind + "(")[0].split(" = ")[-1]
-                              if (kind + "(") in line else ""):
+        head = line.split(m.group(0))[0].split(" = ")[-1]
+        for tm in re.finditer(r"(f32|f64|bf16|s32)\[([\d,]*)\]", head):
             shp = [int(v) for v in tm.group(2).split(",") if v]
             nbytes[kind] += _ITEM[tm.group(1)] * int(np.prod(shp or [1]))
     return kinds, nbytes

@@ -105,7 +105,47 @@ class DomainWallSoAOperator:
         v4 = _vol(self.wilson.dim_d)
         # two projector applications: [NS, NS] x [NS] per (site, color, col)
         f += 2 * mul * v4 * self.Ls * NC * NS * NS * ncols
+        if self.mobius:
+            # the ALGORITHMIC extras of the one-kernel Moebius identity
+            # (field combine b5 x + c5 Hx, then + x - Hx): ~10 real
+            # flops per split-complex field element.  Deliberately NOT
+            # the 27-offset dense-stencil equivalent — benchmarks must
+            # never overstate TF/s (the test_regressions SoA-ndir
+            # convention).
+            f += 10 * v4 * self.Ls * NC * NS * ncols
         return f
+
+
+def _chiral_proj_diag(P: np.ndarray, part_dt) -> jax.Array:
+    """Per-channel weights of a DIAGONAL real chiral projector — the SoA
+    fast path's requirement (g5 diagonal in the engine's DeGrand-Rossi
+    basis); shared by the Shamir and Moebius builders."""
+    if not (np.allclose(P, np.diag(np.diag(P)))
+            and np.allclose(np.imag(P), 0)):
+        raise NotImplementedError(
+            "SoA domain-wall requires a gamma basis with diagonal real "
+            "chiral projectors (g5 diagonal)")
+    return jnp.asarray(np.repeat(np.diag(P).real, NC).astype(part_dt))
+
+
+def _wilson_hop_blocks(links: np.ndarray, r: float, g) -> list:
+    """Per-direction 4D Wilson hopping blocks [((sign, mu),
+    [*lat, 12, 12])...] — one construction shared by every 5D builder
+    (the sign/roll convention lives in exactly one place)."""
+    lat_dims = links.shape[1:-2]
+    out = []
+    for mu in range(4):
+        sp = -0.5 * (r * np.eye(NS) - g[mu])
+        out.append(((1, mu), np.einsum(
+            "st,...cd->...sctd", sp,
+            links[mu]).reshape(tuple(lat_dims) + (12, 12))))
+        sp = -0.5 * (r * np.eye(NS) + g[mu])
+        shifted = np.roll(links[mu], 1, axis=mu)
+        out.append(((-1, mu), np.einsum(
+            "st,...cd->...sctd", sp,
+            np.swapaxes(shifted, -1, -2).conj()
+        ).reshape(tuple(lat_dims) + (12, 12))))
+    return out
 
 
 def domain_wall_operator(
@@ -146,20 +186,9 @@ def domain_wall_operator(
         part_dt = np.float32 if dtype == jnp.complex64 else np.float64
         w = wilson_operator(lat_dims, mass=1.0 - M5, r=r, dtype=dtype,
                             links=links, layout="soa")
-        def diag_of(P):
-            if not (np.allclose(P, np.diag(np.diag(P)))
-                    and np.allclose(np.imag(P), 0)):
-                raise NotImplementedError(
-                    "SoA domain-wall requires a gamma basis with diagonal "
-                    "real chiral projectors (g5 diagonal); the generic-"
-                    "basis einsum form lives in the chiral-fast-path "
-                    "commit history")
-            return jnp.asarray(
-                np.repeat(np.diag(P).real, NC).astype(part_dt))
-
         return DomainWallSoAOperator(wilson=w, Ls=Ls, m_f=float(m_f),
-                                     pp_diag=diag_of(Pp),
-                                     pm_diag=diag_of(Pm))
+                                     pp_diag=_chiral_proj_diag(Pp, part_dt),
+                                     pm_diag=_chiral_proj_diag(Pm, part_dt))
     g = gamma_matrices()
     g5 = g[0] @ g[1] @ g[2] @ g[3]
     Pp = (np.eye(NS) + g5) / 2.0
@@ -174,22 +203,10 @@ def domain_wall_operator(
     blocks = [np.broadcast_to(kron_sc((4.0 * r + 1.0 - M5) * np.eye(NS),
                                       eyeC), lat5 + (12, 12)).copy()]
     # 4D Wilson hopping (s5-independent; links broadcast over s5)
-    for mu in range(4):
-        fwd = [0] * 5
-        fwd[1 + mu] = 1
-        offsets.append(tuple(fwd))
-        sp = -0.5 * (r * np.eye(NS) - g[mu])
-        blk = np.einsum("st,...cd->...sctd", sp,
-                        links[mu]).reshape(tuple(lat_dims) + (12, 12))
-        blocks.append(np.broadcast_to(blk, lat5 + (12, 12)).copy())
-        bwd = [0] * 5
-        bwd[1 + mu] = -1
-        offsets.append(tuple(bwd))
-        sp = -0.5 * (r * np.eye(NS) + g[mu])
-        shifted = np.roll(links[mu], 1, axis=mu)
-        blk = np.einsum("st,...cd->...sctd", sp,
-                        np.swapaxes(shifted, -1, -2).conj()
-                        ).reshape(tuple(lat_dims) + (12, 12))
+    for (s4, mu), blk in _wilson_hop_blocks(links, r, g):
+        off = [0] * 5
+        off[1 + mu] = s4
+        offsets.append(tuple(off))
         blocks.append(np.broadcast_to(blk, lat5 + (12, 12)).copy())
     # s5 hopping with mass walls
     bp = np.broadcast_to(kron_sc(-Pm, eyeC), lat5 + (12, 12)).copy()
@@ -275,19 +292,9 @@ def mobius_operator(
 
         w = wilson_operator(lat_dims, mass=-M5, r=r, dtype=dtype,
                             links=links, layout="soa")
-
-        def diag_of(P):
-            if not (np.allclose(P, np.diag(np.diag(P)))
-                    and np.allclose(np.imag(P), 0)):
-                raise NotImplementedError(
-                    "SoA Moebius requires diagonal real chiral "
-                    "projectors (chiral gamma basis)")
-            return jnp.asarray(
-                np.repeat(np.diag(P).real, NC).astype(part_dt))
-
         return DomainWallSoAOperator(wilson=w, Ls=Ls, m_f=float(m_f),
-                                     pp_diag=diag_of(Pp),
-                                     pm_diag=diag_of(Pm),
+                                     pp_diag=_chiral_proj_diag(Pp, part_dt),
+                                     pm_diag=_chiral_proj_diag(Pm, part_dt),
                                      b5=float(b5), c5=float(c5),
                                      mobius=True,
                                      projector_side=projector_side)
@@ -296,23 +303,7 @@ def mobius_operator(
     lat5 = (Ls,) + tuple(lat_dims)
     diag_w = 4.0 * r - M5                       # D_W diagonal (bare -M5)
 
-    def hop_blocks():
-        """Per-direction 4D hopping blocks of D_W: [2*mu, *lat, 12, 12]."""
-        out = []
-        for mu in range(4):
-            sp = -0.5 * (r * np.eye(NS) - g[mu])
-            out.append(((1, mu), np.einsum(
-                "st,...cd->...sctd", sp,
-                links[mu]).reshape(tuple(lat_dims) + (12, 12))))
-            sp = -0.5 * (r * np.eye(NS) + g[mu])
-            shifted = np.roll(links[mu], 1, axis=mu)
-            out.append(((-1, mu), np.einsum(
-                "st,...cd->...sctd", sp,
-                np.swapaxes(shifted, -1, -2).conj()
-            ).reshape(tuple(lat_dims) + (12, 12))))
-        return out
-
-    hops = hop_blocks()
+    hops = _wilson_hop_blocks(links, r, g)
     PmC = np.kron(Pm, eyeC)
     PpC = np.kron(Pp, eyeC)
     # axial wall factors: +1 in the bulk, -m_f across the s wrap

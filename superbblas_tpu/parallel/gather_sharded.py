@@ -50,6 +50,7 @@ __all__ = ["make_gather_halo_plan", "apply_gather_sharded",
 _GATHER_CACHE: dict = {}
 _GATHER_CACHE_MAX = 32
 _FINALIZER_KEYS: set = set()     # keys with a live weakref.finalize
+_DELEGATE = object()             # cache sentinel: route to the plain path
 
 
 def _cache_get(key):
@@ -72,6 +73,49 @@ def _cache_put(op, key, value):
 def _evict(key):
     _GATHER_CACHE.pop(key, None)
     _FINALIZER_KEYS.discard(key)
+
+
+def _sharded_axes(op: BSROperator, x, mesh: Mesh, axes, fname: str):
+    """Shared executor preamble: the sharded lattice axes, their mesh
+    names/sizes, and the operand's trailing-rank count."""
+    if op.mode != "gather":
+        raise ValueError("requires a gather-mode operator")
+    sharded = [(i, axes[c]) for i, c in enumerate(op.lat_d)
+               if axes.get(c) is not None and mesh.shape[axes[c]] > 1]
+    if not sharded:
+        raise ValueError(f"{fname}: no sharded lattice axis")
+    ks = tuple(k for k, _ in sharded)
+    nms = tuple(nm for _, nm in sharded)
+    ns = tuple(mesh.shape[nm] for nm in nms)
+    nlat = len(op.dim_d)
+    nblk = (x.re.ndim if cplx.is_carray(x) else x.ndim) - nlat
+    return ks, nms, ns, nlat, nblk
+
+
+def _frame_geometry(op: BSROperator, ks, nms, ns, w):
+    """Frame widths/extents and the extend/crop dicts from a plan's
+    per-axis halo width(s)."""
+    Ws = (int(w),) if np.isscalar(w) else tuple(int(v) for v in w)
+    Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
+    loc_core = list(op.dim_d)
+    loc_ext = list(op.dim_d)
+    for k, L, W in zip(ks, Ls, Ws):
+        loc_core[k] = L
+        loc_ext[k] = L + 2 * W
+    wdict = {k: W for k, W in zip(ks, Ws) if W}
+    ndict = {k: nm for k, nm in zip(ks, nms) if wdict.get(k)}
+    return Ws, Ls, tuple(loc_core), tuple(loc_ext), wdict, ndict
+
+
+def _field_specs(op: BSROperator, ks, nms, nlat, nblk):
+    """(field spec, blocks spec) for the shard_map in/out signatures."""
+    spec_lat = tuple(nms[ks.index(i)] if i in ks else None
+                     for i in range(nlat))
+    spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
+    bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
+           else op.blocks.ndim)
+    bspec = PartitionSpec(*spec_lat, *([None] * (bnd - nlat)))
+    return spec_x, bspec
 
 
 def make_gather_halo_plan(op: BSROperator, lat_axis, nshards,
@@ -282,17 +326,8 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     """
     if power < 1:
         raise ValueError("power must be >= 1")
-    if op.mode != "gather":
-        raise ValueError("requires a gather-mode operator")
-    sharded = [(i, axes[c]) for i, c in enumerate(op.lat_d)
-               if axes.get(c) is not None and mesh.shape[axes[c]] > 1]
-    if not sharded:
-        raise ValueError("apply_gather_sharded: no sharded lattice axis")
-    ks = tuple(k for k, _ in sharded)
-    nms = tuple(nm for _, nm in sharded)
-    ns = tuple(mesh.shape[nm] for nm in nms)
-    nlat = len(op.dim_d)
-    nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
+    ks, nms, ns, nlat, nblk = _sharded_axes(op, x, mesh, axes,
+                                            "apply_gather_sharded")
 
     key = (id(op), ks, ns, mesh, nms, nblk, power, all_powers)
     hit = _cache_get(key) if plan is None else None
@@ -309,23 +344,9 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
     else:
         w, jj_local = make_gather_halo_plan(op, ks, ns, power=power)
     # the plan returns FRAME halo widths (reach-based for power>1)
-    Ws = (int(w),) if np.isscalar(w) else tuple(int(v) for v in w)
-    Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
-    loc_core = list(op.dim_d)
-    loc_ext = list(op.dim_d)
-    for k, L, W in zip(ks, Ls, Ws):
-        loc_core[k] = L
-        loc_ext[k] = L + 2 * W
-    loc_core, loc_ext = tuple(loc_core), tuple(loc_ext)
-    wdict = {k: W for k, W in zip(ks, Ws) if W}
-    ndict = {k: nm for k, nm in zip(ks, nms) if wdict.get(k)}
-
-    spec_lat = tuple(nms[ks.index(i)] if i in ks else None
-                     for i in range(nlat))
-    spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
-    bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
-           else op.blocks.ndim)
-    bspec = PartitionSpec(*spec_lat, *([None] * (bnd - nlat)))
+    (Ws, Ls, loc_core, loc_ext, wdict, ndict) = _frame_geometry(
+        op, ks, nms, ns, w)
+    spec_x, bspec = _field_specs(op, ks, nms, nlat, nblk)
     jj_local = np.asarray(jj_local).reshape(ns + np.asarray(jj_local).shape[-2:])
     jj_dev = jax.device_put(
         jnp.asarray(jj_local), NamedSharding(mesh, PartitionSpec(*nms)))
@@ -360,7 +381,10 @@ def apply_gather_sharded(op: BSROperator, x, mesh: Mesh,
         outs = []
         cur = x_e
         for _ in range(power):
-            cur = fn(lop, cur)    # ext -> ext; shells invalidate by w
+            # ext -> ext; the host-side validity certification in
+            # make_gather_halo_plan guarantees every core-feeding row
+            # reads only exchanged-correct operands at every apply
+            cur = fn(lop, cur)
             outs.append(cur)
         if not all_powers:
             outs = outs[-1:]
@@ -410,21 +434,16 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
     Memoized per (operator, mesh, axes, just_local) like
     :func:`apply_gather_sharded`.
     """
-    if op.mode != "gather":
-        raise ValueError("requires a gather-mode operator")
-    sharded = [(i, axes[c]) for i, c in enumerate(op.lat_d)
-               if axes.get(c) is not None and mesh.shape[axes[c]] > 1]
-    if not sharded:
-        raise ValueError("apply_gather_overlap: no sharded lattice axis")
-    ks = tuple(k for k, _ in sharded)
-    nms = tuple(nm for _, nm in sharded)
-    ns = tuple(mesh.shape[nm] for nm in nms)
-    nlat = len(op.dim_d)
-    nblk = x.re.ndim - nlat if cplx.is_carray(x) else x.ndim - nlat
+    ks, nms, ns, nlat, nblk = _sharded_axes(op, x, mesh, axes,
+                                            "apply_gather_overlap")
 
     key = (id(op), "overlap", ks, ns, mesh, nms, nblk, just_local)
     hit = _cache_get(key)
     if hit is not None:
+        if hit[0] is _DELEGATE:
+            # all-core plan (nothing crosses): the plain single-apply
+            # path IS the overlap result — and has its own cache
+            return apply_gather_sharded(op, x, mesh, axes)
         jj_dev, fn = hit
         return fn(op.blocks,
                   op.kron if op.kron is not None else jnp.zeros((0,)),
@@ -434,16 +453,8 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
         W, jj_local = make_gather_halo_plan(op, ks[0], ns[0])
     else:
         W, jj_local = make_gather_halo_plan(op, ks, ns)
-    Ws = (int(W),) if np.isscalar(W) else tuple(int(v) for v in W)
-    Ls = tuple(op.dim_d[k] // n for k, n in zip(ks, ns))
-    loc_core = list(op.dim_d)
-    loc_ext = list(op.dim_d)
-    for k, L, Wa in zip(ks, Ls, Ws):
-        loc_core[k] = L
-        loc_ext[k] = L + 2 * Wa
-    loc_core, loc_ext = tuple(loc_core), tuple(loc_ext)
-    wdict = {k: Wa for k, Wa in zip(ks, Ws) if Wa}
-    ndict = {k: nm for k, nm in zip(ks, nms) if wdict.get(k)}
+    (Ws, Ls, loc_core, loc_ext, wdict, ndict) = _frame_geometry(
+        op, ks, nms, ns, W)
 
     # classify slots: CORE = neighbor inside the local slab.  jj_local
     # holds ext-frame flat indices; recover per-axis frame coords and
@@ -455,8 +466,10 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
         is_core &= (fco[k] >= Wa) & (fco[k] < Wa + L)
     if bool(is_core.all()):
         # nothing crosses: the crossing matvec would gather a full
-        # frame of zero-masked blocks for no contribution — the plain
-        # single-apply path IS the overlap result
+        # frame of zero-masked blocks for no contribution — delegate to
+        # the plain single-apply path, and MEMOIZE the decision so
+        # repeated applies skip the host-side plan rebuild
+        _cache_put(op, key, (_DELEGATE, None))
         return apply_gather_sharded(op, x, mesh, axes)
     lco = list(fco)
     for k, Wa in zip(ks, Ws):
@@ -472,12 +485,7 @@ def apply_gather_overlap(op: BSROperator, x, mesh: Mesh,
         jnp.asarray(bundle), NamedSharding(mesh, PartitionSpec(*nms)))
     jj_lead = len(ns)
 
-    spec_lat = tuple(nms[ks.index(i)] if i in ks else None
-                     for i in range(nlat))
-    spec_x = PartitionSpec(*spec_lat, *([None] * nblk))
-    bnd = (op.blocks.re.ndim if cplx.is_carray(op.blocks)
-           else op.blocks.ndim)
-    bspec = PartitionSpec(*spec_lat, *([None] * (bnd - nlat)))
+    spec_x, bspec = _field_specs(op, ks, nms, nlat, nblk)
 
     meta_core = dict(oim=op.oim, odm=op.odm, lat_i=op.lat_i,
                      lat_d=op.lat_d, blk_i=op.blk_i, blk_d=op.blk_d,
