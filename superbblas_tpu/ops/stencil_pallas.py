@@ -495,7 +495,12 @@ def stencil_matvec_soa_reference(blocks, kron, x, offsets, bi, bd,
             lambda B, V: jnp.einsum("ij...,naj...->nai...", B, V,
                                     precision=prec), blk, z)
         y = t if y is None else cplx.add(y, t)
-    return cplx.cmap(lambda a: a.reshape((n, KI * bi) + lat), y)
+    # honor the kernel's output contract (out dtype = field dtype): the
+    # f32 kron factor otherwise promotes a bf16 field to f32 here but
+    # not on the Pallas path — scan carries (bench chains) would differ
+    out_dt = x.re.dtype
+    return cplx.cmap(
+        lambda a: a.reshape((n, KI * bi) + lat).astype(out_dt), y)
 
 
 def aos_to_soa(x: cplx.CArray, nlat: int) -> cplx.CArray:
