@@ -32,7 +32,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from .. import cplx
 from ..bsr import BSROperator, _apply_stencil, _reshape, _stack
