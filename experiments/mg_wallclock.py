@@ -75,8 +75,20 @@ lat = tuple(args.lat)
 dt = jnp.complex64 if not args.cpu else jnp.complex128
 op = wilson_operator(lat, mass=args.mass, key=3, dtype=dt,
                      layout=args.layout)
-D = lambda u: apply_wilson(op, u)
-Dh = lambda u: apply_wilson_dagger(op, u)
+if args.layout == "soa":
+    # fields stay in the canonical AoS order; _level_apply routes the
+    # matvec through the Pallas kernel with layout conversion at the
+    # boundary, so the WHOLE benchmark (CGNE + MG smoothing/residuals)
+    # rides the hot path
+    from superbblas_tpu.models.multigrid import _level_apply
+    from superbblas_tpu.models.wilson import adjoint_operator
+
+    op_h = adjoint_operator(op)
+    D = lambda u: _level_apply(op, u, normal=False)
+    Dh = lambda u: _level_apply(op_h, u, normal=False)
+else:
+    D = lambda u: apply_wilson(op, u)
+    Dh = lambda u: apply_wilson_dagger(op, u)
 A = lambda u: _A_normal(op, u)
 rng = np.random.default_rng(11)
 shape = lat + (4, 3, args.ncols)

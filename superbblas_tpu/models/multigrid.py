@@ -54,7 +54,13 @@ def _level_apply(op, x, normal: bool = True):
     [*lat, *blk(, N)] (trailing column axis optional): A = D^H D at the
     fine level (``normal=True``); Galerkin coarse operators are already
     Hermitian PD and are applied directly (``normal=False``).  Scoped
-    under the runtime tracker like every public op."""
+    under the runtime tracker like every public op.
+
+    SoA-layout operators (mode "stencil_soa") run the Pallas hot kernel
+    with AoS<->SoA layout conversion at the boundary — on TPU the
+    kernel's ~3x matvec rate dwarfs the two transposes, so the ENTIRE
+    multigrid cycle (smoothing + residuals + setup) rides the hot path
+    when the caller builds the operator with layout="soa"."""
     from ..bsr import _apply_stencil
     from ..utils.tracker import track
     from .wilson import adjoint_operator as _adj
@@ -64,9 +70,23 @@ def _level_apply(op, x, normal: bool = True):
     if squeeze:
         x = cplx.cmap(lambda a: a[..., None], x)
     with track("multigrid_apply", sync_on=None):
-        y = _apply_stencil(op, x)
-        if normal:
-            y = _apply_stencil(_adj(op), y)
+        if op.mode == "stencil_soa":
+            if op.kron is None or len(blk) != 2:
+                raise ValueError(
+                    "SoA multigrid levels need a Kronecker (spin x "
+                    "color) operator")
+            from ..bsr import apply_stencil_soa
+            from ..ops.stencil_pallas import aos_to_soa, soa_to_aos
+
+            ki, bi = volume(op.ki), volume(op.bi)
+            y = apply_stencil_soa(op, aos_to_soa(x, 4))
+            if normal:
+                y = apply_stencil_soa(_adj(op), y)
+            y = soa_to_aos(y, 4, ki, bi)
+        else:
+            y = _apply_stencil(op, x)
+            if normal:
+                y = _apply_stencil(_adj(op), y)
     return cplx.cmap(lambda a: a[..., 0], y) if squeeze else y
 
 

@@ -445,3 +445,34 @@ def test_fgcr_unpreconditioned_matches_bicgstab_answer():
     err = float(jnp.max(jnp.abs(xg.re - xb.re))
                 + jnp.max(jnp.abs(xg.im - xb.im)))
     assert err < 1e-6, err
+
+
+def test_level_apply_soa_matches_aos():
+    """_level_apply routes SoA-layout operators through the Pallas
+    kernel with layout conversion at the boundary — the whole multigrid
+    cycle rides the hot path on TPU.  Both layouts of the same links
+    must agree (normal and plain applies)."""
+    import jax.numpy as jnp
+
+    from superbblas_tpu import cplx
+    from superbblas_tpu.models import wilson_operator
+    from superbblas_tpu.models.multigrid import _level_apply
+
+    lat = (2, 2, 8, 128)
+    from superbblas_tpu.models.wilson import random_su3_links
+    rng = np.random.default_rng(5)
+    links = random_su3_links(rng, lat)
+    op_a = wilson_operator(lat, mass=-1.0, links=links,
+                           dtype=jnp.complex64)
+    op_s = wilson_operator(lat, mass=-1.0, links=links,
+                           dtype=jnp.complex64, layout="soa")
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal(lat + (4, 3, 2)), jnp.float32),
+        jnp.asarray(rng.standard_normal(lat + (4, 3, 2)), jnp.float32))
+    for normal in (False, True):
+        ya = _level_apply(op_a, x, normal=normal)
+        ys = _level_apply(op_s, x, normal=normal)
+        np.testing.assert_allclose(np.asarray(ys.re), np.asarray(ya.re),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ys.im), np.asarray(ya.im),
+                                   rtol=2e-3, atol=2e-3)
