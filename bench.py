@@ -370,7 +370,11 @@ def _flagship(dev):
     b16_gf, _, _ = bench_bsr(storage=jnp.bfloat16, x_dtype=jnp.bfloat16)
     b16_vs = b16_gf / (10000.0 * bw_gb / 819.0)
     cp_gb, _ = bench_copy()
-    cp_vs = cp_gb / (0.4 * bw_gb)    # tiled transpose realistic peak
+    # measured XLA bound for the same full-reversal permutation: 267.7
+    # GB/s on v5e/819 (experiments/permute_retune.py sweep, 2026-08-18;
+    # the kernel's job is to beat the compiler, so the compiler IS the
+    # baseline — VERDICT r2 item 7).  Scaled by the chip's HBM ratio.
+    cp_vs = cp_gb / (268.0 * bw_gb / 819.0)
     # unaligned general redistribution: the boxes packer must hold the
     # 60 GB/s done-criterion (scaled by the chip's HBM ratio)
     ru_gb, _ = bench_redistribute_unaligned()

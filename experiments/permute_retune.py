@@ -8,6 +8,29 @@ XLA-transpose upper bound across shapes/permutations so the bench
 constant can cite a measured roofline instead of a chosen one.
 
 Run on the real chip: `python experiments/permute_retune.py`.
+
+MEASURED (v5e 1 chip, 2026-08-18 toolchain):
+
+  kernel tile sweep (bench shape 128x64x64x128 f32, xyzt->tzyx):
+    YB=ZB=8 is the ONLY config Mosaic compiles (all larger tiles
+    remote_compile HTTP 500, all 4-tiles hit the (8k,128k) block rule)
+    -> 337.1 GB/s.  Same conclusion as round 2: keep (8, 8).
+
+  XLA transpose bound study (chained scan, +1.0 in the body):
+    full reversal (bench)   (128,64,64,128):  267.7 GB/s  <- baseline
+    minor<->major only      (128,64,64,128):  332.4 GB/s
+    64^4 reversal           (64,64,64,64)  :  166.3 GB/s
+    fat minor reversal      (256,32,32,256):  265.0 GB/s
+    copy roofline (v+1)                    :  660.6 GB/s
+    swap last two / swap first two / 2D rows measured 1.3-23 TB/s —
+    ABOVE HBM peak: XLA elides those transposes (layout assignment /
+    forward+inverse cancellation in the 2D chain), so they are not
+    movement bounds and are excluded from the baseline.
+
+  Conclusion (promoted to bench.py): the Pallas tiled kernel beats the
+  XLA compiler 1.26x on the exact benchmark permutation; the permute
+  leg's baseline constant is now the MEASURED 268 GB/s XLA bound
+  (scaled by chip HBM) instead of the chosen 0.4*HBM bar.
 """
 
 import statistics
