@@ -49,6 +49,23 @@ All formulations tied at ~1/16 MXU fill.
    need a packing Mosaic cannot express without either S x block-HBM
    amplification (pre-packed diagonals) or misaligned VPU stores.
 
+## Round 4 re-measure (coarse_xla_remeasure_r4.py, 2026-08-19 toolchain)
+
+Chained two-GEMM shape-stable probe (operands as jit ARGUMENTS — baking
+150 MB constants into the program trips the remote compiler's upload
+limit, HTTP 413):
+
+      S=4096 [32x288]@[288x 32]:  2.79 TF/s  (AI  7.6, roofline ~6.2)
+      S=4096 [32x288]@[288x128]:  6.45 TF/s  (AI 11.8, roofline ~9.6)
+      S=4096 [12x 12]@[ 12x 32]:  0.42 TF/s  (AI  2.5, roofline ~2.1)
+      S=4096 [12x 12]@[ 12x128]:  1.60 TF/s  (AI  2.9, roofline ~2.3)
+
+XLA did NOT move again (2.78 -> 2.79 at the bench shape); the ≥2 TF/s
+coarse-matvec bar holds on XLA alone.  The real lever is RIGHT-HAND-SIDE
+BATCHING: ncols 32 -> 128 is 2.3x (6.45 TF/s, 67% of its roofline) —
+the multigrid coarse solve should batch RHS through the existing
+``cols=True`` machinery rather than grow a custom kernel.
+
 ## Conclusion
 
 ``ops/batched_gemm_pallas.batched_small_gemm`` therefore routes to

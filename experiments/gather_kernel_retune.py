@@ -1,0 +1,120 @@
+"""Gather-mode matvec kernel variants (round-4, VERDICT item 3 follow-up).
+
+The first gather-halo bench leg measured 134.5 GFLOP/s = ~41 GB/s of
+effective traffic — about half the measured row-gather bound and 16x
+below streaming.  Hypothesis: the gather `xf[jj]` with xf [vol, BD, N]
+carries (1, BD, N) slices whose minor dim N=8 fills 8/128 lanes.
+Variants:
+
+  v0  current: per-component gather of [vol, BD, N] rows
+  v1  flatten trailing: gather [vol, BD*N] rows (96/128 lanes)
+  v2  combined re+im: one gather of [vol, 2*BD*N] rows (192 = 1.5 rows
+      of 128 lanes), split after
+  v3  v1 + blocks as bf16 (halve the streamed block bytes)
+
+Run: `python experiments/gather_kernel_retune.py` on the real chip.
+"""
+
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, x, n1=10, n2=50):
+    res = {}
+    for n in (n1, n2):
+        @jax.jit
+        def chained(v, n=n):
+            def body(c, _):
+                y = fn(c)
+                return (y[0] + 1e-6, y[1]), ()
+            c, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(jnp.abs(c[0]))
+        float(chained(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(chained(x))
+            ts.append(time.perf_counter() - t0)
+        res[n] = statistics.median(ts)
+    return (res[n2] - res[n1]) / (n2 - n1)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sbt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    rng = np.random.default_rng(0)
+    dim = (16, 8, 8, 32)
+    vol = int(np.prod(dim))
+    nnz, nc, N = 10, 12, 8
+    jj = rng.integers(0, vol, size=(vol, nnz)).astype(np.int32)
+    jj_d = jnp.asarray(jj)
+    a_re = jnp.asarray(rng.standard_normal((vol, nnz, nc, nc)), jnp.float32)
+    x_re = jnp.asarray(rng.standard_normal((vol, nc, N)), jnp.float32)
+    x_im = jnp.asarray(rng.standard_normal((vol, nc, N)), jnp.float32)
+    flops = 4.0 * vol * nnz * nc * nc * N
+    dn = (((1, 3), (1, 2)), ((0,), (0,)))
+    hi = jax.lax.Precision.HIGHEST
+
+    def v0(x):
+        xr, xi = x
+        yr = jax.lax.dot_general(a_re, xr[jj_d], dn, precision=hi)
+        yi = jax.lax.dot_general(a_re, xi[jj_d], dn, precision=hi)
+        return yr, yi
+
+    def v1(x):
+        xr, xi = x
+        fr = xr.reshape(vol, nc * N)
+        fi = xi.reshape(vol, nc * N)
+        gr = fr[jj_d].reshape(vol, nnz, nc, N)
+        gi = fi[jj_d].reshape(vol, nnz, nc, N)
+        return (jax.lax.dot_general(a_re, gr, dn, precision=hi),
+                jax.lax.dot_general(a_re, gi, dn, precision=hi))
+
+    def v2(x):
+        xr, xi = x
+        both = jnp.concatenate([xr.reshape(vol, nc * N),
+                                xi.reshape(vol, nc * N)], axis=1)
+        g = both[jj_d]                       # [vol, nnz, 2*nc*N]
+        gr = g[..., :nc * N].reshape(vol, nnz, nc, N)
+        gi = g[..., nc * N:].reshape(vol, nnz, nc, N)
+        return (jax.lax.dot_general(a_re, gr, dn, precision=hi),
+                jax.lax.dot_general(a_re, gi, dn, precision=hi))
+
+    a_bf = a_re.astype(jnp.bfloat16)
+
+    def v3(x):
+        xr, xi = x
+        gr = xr.reshape(vol, nc * N)[jj_d].reshape(vol, nnz, nc, N)
+        gi = xi.reshape(vol, nc * N)[jj_d].reshape(vol, nnz, nc, N)
+        return (jax.lax.dot_general(a_bf, gr.astype(jnp.bfloat16), dn,
+                                    preferred_element_type=jnp.float32),
+                jax.lax.dot_general(a_bf, gi.astype(jnp.bfloat16), dn,
+                                    preferred_element_type=jnp.float32))
+
+    x = (x_re, x_im)
+    want = None
+    for name, fn in (("v0 row(BD,N)", v0), ("v1 flat row", v1),
+                     ("v2 re+im one gather", v2), ("v3 v1+bf16 blocks", v3)):
+        try:
+            y = jax.block_until_ready(fn(x))
+        except Exception as e:
+            print(f"  {name:22s}: FAIL {type(e).__name__}: {str(e)[:80]}",
+                  flush=True)
+            continue
+        if want is None:
+            want = y
+        err = float(jnp.max(jnp.abs(y[0].astype(jnp.float32)
+                                    - want[0].astype(jnp.float32))))
+        dt = timeit(fn, x)
+        tf = flops / dt / 1e12
+        print(f"  {name:22s}: {dt * 1e6:8.1f} us  {tf:5.2f} TF/s  "
+              f"(err {err:.1e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ MEASURED (v5e 1 chip, 2026-08-18 toolchain):
   XLA compiler 1.26x on the exact benchmark permutation; the permute
   leg's baseline constant is now the MEASURED 268 GB/s XLA bound
   (scaled by chip HBM) instead of the chosen 0.4*HBM bar.
+
+RE-CONFIRMED (round 4, 2026-08-19 toolchain): identical conclusions —
+  (8, 8) is still the only tile Mosaic compiles (338.6 GB/s; all larger
+  tiles HTTP 500, all 4-tiles fail the (8k,128k) block rule); XLA full
+  reversal 268.3 GB/s, copy roofline 659.2 GB/s.  Nothing to promote.
 """
 
 import statistics

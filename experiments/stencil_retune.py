@@ -13,6 +13,27 @@ each round rather than trusted.  This sweep times, at the bench shape
 Mosaic remote_compile HTTP 500s are configs to skip, not bugs to fix
 (CLAUDE.md).  Run on the real chip: `python experiments/stencil_retune.py`.
 
+ROUND-4 RESULT (2026-08-19 toolchain; confirmed by the long-chain
+re-timing in stencil_confirm_r4.py — a 69.8 TF/s sweep outlier for
+(4,1) was a short-chain timing artifact, re-measured at 6.5-6.7):
+
+  f32 : (8,2) 7.46-7.85 TF/s > (4,4) 7.42-7.54 > (8,1) 7.32
+        > old auto (1,8) 7.08-7.23          -> _PREF_CHUNKS promoted
+  bf16: (8,2) 11.30-11.54 > (4,4) 10.92-11.42 > old auto 10.36-10.53
+
+BOUND ANALYSIS (why the 8.5 TF/s f32 target is past the roofline of
+this DMA scheme): at Yc=2 the five input specs stream (3*Yc+2)/Yc = 4
+X-planes per output plane, so per site the kernel moves ~4*768 (x re+im,
+8 rhs) + 648 (links) + 768 (y) = 4488 B.  At the measured 7.85 TF/s
+(807 us for the 131072-site lattice) that is ~729 GB/s of DMA traffic —
+ABOVE the measured same-shape copy roofline (659 GB/s, permute_retune)
+and 89% of nominal HBM peak; the f32 kernel is bandwidth-saturated.
+Larger Yc lowers the x multiplicity (Yc=8 -> 3.25x) but Mosaic
+schedules it slower (7.2), so the byte win never materializes.  The
+way past 8.5 is fewer bytes, not scheduling: bf16 storage (half the
+bytes) measures 11.3-11.5 TF/s = 1.47x, the speed mode bench.py
+already ships.
+
 Reference analog: the per-backend SpMM choice of bsr.h:281-1190 — the
 reference picks MKL/builtin/cuSPARSE at build time; here the choice is a
 measured per-toolchain promotion.

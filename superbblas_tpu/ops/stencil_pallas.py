@@ -322,16 +322,27 @@ def _kernel(kron_re, kron_im,        # SMEM [ndir, KI, KD] (tracer path)
     )
 
 
+#: measured chunk preference, best first (round-4 confirm sweep on v5e,
+#: experiments/stencil_retune.py + stencil_confirm_r4.py, Wilson
+#: 8x8x16x128 x 8 rhs, long-chain two-point timing x2 reps):
+#:   f32 : (8,2) 7.46-7.85 TF/s > (4,4) 7.42-7.54 > (8,1) 7.32
+#:         > (1,8) 7.16-7.23 (the old Yc-max pick) > (4,1) 6.45-6.68
+#:   bf16: (8,2) 11.30-11.54 > (4,4) 10.92-11.42 > (2,8) 10.71-10.83
+#:         > old auto 10.36-10.53
+#: (the round-2 toolchain preferred Yc-max — Mosaic scheduling moved;
+#: keep re-measuring per round.)
+_PREF_CHUNKS = ((8, 2), (4, 4), (2, 8), (8, 1))
+
+
 def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=39 * 2 ** 20,
                  itemsize=4):
     """Choose (nc, Yc) fitting the VMEM budget (with double buffering).
 
-    Bigger Y-chunks dominate (sweep on v5e, Wilson 8x8x16x128 x 8 rhs:
-    Yc=2/nc=1 6.1 TF/s -> Yc=4/nc=4 7.5 -> Yc=8(full)/nc=1 9.2), so the
-    picker maximizes Yc first, then nc.  The 39 MiB budget is the
-    largest worksize the Mosaic toolchain compiled reliably in that
-    sweep (48+ MiB configs crash the compiler); the pallas_call sets
-    vmem_limit_bytes=64 MiB to accommodate it."""
+    Tries the measured preference table (_PREF_CHUNKS) first, then falls
+    back to maximizing Yc then nc.  The 39 MiB budget is the largest
+    worksize the Mosaic toolchain compiled reliably (48+ MiB configs
+    crash the compiler); the pallas_call sets vmem_limit_bytes=64 MiB
+    to accommodate it."""
     def bytes_for(nc, Yc):
         site = Z * T * itemsize
         x = (3 * Yc + 2) * F * nc * site * 2          # 5 specs, re+im
@@ -339,6 +350,14 @@ def _pick_chunks(n, Y, F, KO, BI, BD, Z, T, ndir, vmem_budget=39 * 2 ** 20,
         y = KO * nc * Yc * site * 2
         return (x + blk) * 2 + y * 2                   # double buffering
 
+    # preference rows get a higher cap: the bf16 (8,2) bench config
+    # models at ~55 MiB and compiled+ran on the round-4 toolchain (the
+    # 39 MiB ceiling predates it); the generic fallback stays
+    # conservative for unmeasured shapes
+    pref_budget = max(vmem_budget, 56 * 2 ** 20)
+    for nc, Yc in _PREF_CHUNKS:
+        if n % nc == 0 and Y % Yc == 0 and bytes_for(nc, Yc) <= pref_budget:
+            return nc, Yc
     for Yc in [y for y in range(Y, 0, -1) if Y % y == 0]:
         for nc in [c for c in (8, 4, 2, 1) if n % c == 0]:
             if bytes_for(nc, Yc) <= vmem_budget:

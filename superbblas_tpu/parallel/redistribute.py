@@ -187,6 +187,16 @@ class RedistributionPlan:
     offsets per rank, concatenated in peer order, padded to the per-rank
     cap) are materialized lazily — only the "runs" executor needs them.
 
+    ``perm`` makes the plan LABEL-PERMUTING: ``dst`` partitions the
+    permuted lattice (``perm[k]`` = src axis of dst axis k) and the
+    boxes executor transposes each piece into destination order at
+    unpack — the reference's one-plan o0 != o1 copy
+    (dummy_normalize_copy dist.h:2455-2530 / translate_range
+    dist.h:596-654).  ``mask_src``/``mask_dst`` make it masked: the
+    boxes executor applies them as elementwise multiplies around the
+    unmasked piece plan (``mask_mult``), the runs executor filters to
+    element granularity.
+
     Reference analog: the per-peer index/blocking plans of
     get_indices_to_send/receive + copy_n_blocking (dist.h:798-1010,
     1789-1852).
@@ -199,18 +209,56 @@ class RedistributionPlan:
     def __init__(self, src: Partition, dst: Partition, copy_add: str = "copy",
                  pack: Optional[str] = None,
                  mask_src: Optional[np.ndarray] = None,
-                 mask_dst: Optional[np.ndarray] = None):
+                 mask_dst: Optional[np.ndarray] = None,
+                 perm: Optional[Tuple[int, ...]] = None):
         if len(src.boxes) != len(dst.boxes):
             raise ValueError("partitions must have the same number of procs")
         n = len(src.boxes)
         dim = src.dim
+        nd = len(dim)
+        # label-permuting plan (the reference's one-plan normalization of
+        # o0 != o1 copies, dummy_normalize_copy dist.h:2455-2530 +
+        # translate_range dist.h:596-654): ``perm[k]`` = the SOURCE axis
+        # holding destination axis k (labels.find_permutation(o0, o1)).
+        # The dst partition lives on the permuted lattice; its boxes are
+        # mapped back to source axis order for plan building, and the
+        # boxes executor transposes each piece into destination order at
+        # unpack.  Identity perms are dropped.
+        if perm is not None:
+            perm = tuple(int(p) for p in perm)
+            if sorted(perm) != list(range(nd)):
+                raise ValueError(f"perm {perm} is not a permutation of "
+                                 f"the {nd} lattice axes")
+            if tuple(dst.dim) != tuple(dim[p] for p in perm):
+                raise ValueError(
+                    f"dst lattice {tuple(dst.dim)} is not the perm-{perm} "
+                    f"image of the src lattice {tuple(dim)}")
+            if perm == tuple(range(nd)):
+                perm = None
+        self.perm = perm
+        # dst boxes in SOURCE axis order (inv[a] = dst axis holding src
+        # axis a); self.dst_shape stays the CONTAINER (dst-order) shape
+        dst_orig = dst
+        if perm is not None:
+            inv = [0] * nd
+            for k, p in enumerate(perm):
+                inv[p] = k
+            self._inv = tuple(inv)
+            dst_boxes_s = tuple(
+                (tuple(f[inv[a]] for a in range(nd)),
+                 tuple(s[inv[a]] for a in range(nd)))
+                for f, s in dst.boxes)
+            dst = Partition(dim=dim, boxes=dst_boxes_s)
         self.n = n
         self.src_shape = tuple(
             max((b[1][i] for b in src.boxes), default=0)
             for i in range(len(dim)))
-        self.dst_shape = tuple(
+        dst_shape_s = tuple(
             max((b[1][i] for b in dst.boxes), default=0)
             for i in range(len(dim)))
+        self.dst_shape_src = dst_shape_s
+        self.dst_shape = (dst_shape_s if perm is None else
+                          tuple(dst_shape_s[p] for p in perm))
         self.src_vol = volume(self.src_shape)
         self.dst_vol = volume(self.dst_shape)
         self.copy_add = copy_add
@@ -311,49 +359,80 @@ class RedistributionPlan:
         # mask at its source-rank replica AND the DESTINATION mask at its
         # destination-rank replica are both set.  Masked-out covered
         # destinations stay ZERO (this path's uncovered-output
-        # convention).  Masked plans drop to element granularity
-        # (pieces are no longer boxes after filtering).
+        # convention).
+        #
+        # Two masked strategies:
+        #   * pack='boxes' (default): the UNMASKED piece plan is kept and
+        #     the masks factor out as elementwise multiplies — the source
+        #     block is zeroed at masked-out sites before pack (copy mode
+        #     assigns each destination to its FIRST covering rank, so a
+        #     zeroed assignment stays zero — the reference filters plan
+        #     indices after assignment, dist.h:944-970; add mode sums
+        #     contributions, so source zeros drop out of the sum) and the
+        #     unpacked output is zeroed at masked-out destinations (md is
+        #     per-(rank, site), constant across contributing fragments,
+        #     so it distributes over the sum).  Copy bandwidth at any
+        #     alignment; trades exchanging masked-out sites as zeros for
+        #     box granularity.
+        #   * pack='runs': element-granularity filtering — pieces are no
+        #     longer boxes after dropping masked elements (B == 1); moves
+        #     only the surviving elements.
         self._masked = None
+        self.mask_mult = False
         self.mask_src_stack = self.mask_dst_stack = None
         if mask_src is not None or mask_dst is not None:
-            if pack == "boxes":
-                raise ValueError(
-                    "masked plans are element-granularity after filtering; "
-                    "the 'boxes' packer cannot express them — use "
-                    "pack='runs' or 'auto'")
             ms = (self._stack_mask(mask_src, src)
                   if mask_src is not None else None)
-            md = (self._stack_mask(mask_dst, dst)
+            # dst masks live in DESTINATION axis order (they multiply the
+            # unpacked container)
+            md = (self._stack_mask(mask_dst, dst_orig)
                   if mask_dst is not None else None)
             self.mask_src_stack, self.mask_dst_stack = ms, md
-            self._masked = {}
-            counts[...] = 0
-            for (i, j) in list(self.pair_pieces):
-                si, di = self._pair_starts_pieces(i, j, 1)
-                sel = np.ones(len(si), bool)
-                if ms is not None:
-                    sel &= ms[i].reshape(-1)[si]
-                if md is not None:
-                    sel &= md[j].reshape(-1)[di]
-                if sel.any():
-                    self._masked[(i, j)] = (si[sel], di[sel])
-                    counts[i, j] = int(sel.sum())
-            self.block = B = 1
-            cdt = (np.int32
-                   if counts.max(initial=0) < np.iinfo(np.int32).max
-                   else np.int64)
-            self.counts = counts.astype(cdt)
-            counts_e = counts.copy()   # post-mask element totals (B == 1)
-            # element granularity: only the runs executor applies (an
-            # explicit pack='boxes' raised above; the SBT_REDIST_PACK
-            # preference is intentionally not consulted)
-            pack = "runs"
+            if pack is None:
+                pack = flags.get_redist_pack()
+            if perm is not None:
+                # permuting plans transpose whole pieces at unpack; only
+                # the boxes executor expresses that
+                if pack == "runs":
+                    raise ValueError(
+                        "label-permuting plans require the 'boxes' packer")
+                pack = "boxes"
+            elif pack == "auto":
+                pack = ("boxes" if total_pieces <= self.MAX_BOX_PIECES
+                        else "runs")
+            if pack == "boxes":
+                self.mask_mult = True
+            else:
+                self._masked = {}
+                counts[...] = 0
+                for (i, j) in list(self.pair_pieces):
+                    si, di = self._pair_starts_pieces(i, j, 1)
+                    sel = np.ones(len(si), bool)
+                    if ms is not None:
+                        sel &= ms[i].reshape(-1)[si]
+                    if md is not None:
+                        sel &= md[j].reshape(-1)[di]
+                    if sel.any():
+                        self._masked[(i, j)] = (si[sel], di[sel])
+                        counts[i, j] = int(sel.sum())
+                self.block = B = 1
+                cdt = (np.int32
+                       if counts.max(initial=0) < np.iinfo(np.int32).max
+                       else np.int64)
+                self.counts = counts.astype(cdt)
+                counts_e = counts.copy()   # post-mask element totals (B == 1)
+                pack = "runs"
 
         # executor strategy: static box copies (any alignment, copy
         # bandwidth) unless the piece count would bloat the program
         if pack is None:
             pack = flags.get_redist_pack()
-        if pack == "auto":
+        if perm is not None:
+            if pack == "runs":
+                raise ValueError(
+                    "label-permuting plans require the 'boxes' packer")
+            pack = "boxes"
+        elif pack == "auto":
             pack = "boxes" if total_pieces <= self.MAX_BOX_PIECES else "runs"
         if pack not in ("boxes", "runs"):
             raise ValueError(f"unknown redistribution pack mode {pack!r}")
@@ -391,7 +470,7 @@ class RedistributionPlan:
         for j, pieces in by_dst.items():
             for sfl, dfl, shp in pieces:
                 if any(f + s > b for f, s, b in zip(dfl, shp,
-                                                    self.dst_shape)):
+                                                    self.dst_shape_src)):
                     raise ValueError(
                         f"plan writes outside rank {j}'s destination block")
                 if any(f + s > b for f, s, b in zip(sfl, shp,
@@ -452,7 +531,13 @@ class RedistributionPlan:
         last-axis B-chunks)."""
         pieces = self.pair_pieces.get((i, j))
         sstr = _c_strides(self.src_shape)
-        dstr = _c_strides(self.dst_shape)
+        # dst offsets index the CONTAINER (destination-order) layout;
+        # label-permuting plans re-map the stride of each src axis to its
+        # destination container axis (perm plans only reach B == 1 here —
+        # the boxes executor owns their bulk path)
+        dstr_c = _c_strides(self.dst_shape)
+        dstr = (dstr_c if self.perm is None
+                else tuple(dstr_c[self._inv[a]] for a in range(len(dstr_c))))
         ss, dd = [], []
         for sfl, dfl, shp in (_iter_pieces(pieces)
                               if pieces is not None else ()):
@@ -466,7 +551,8 @@ class RedistributionPlan:
                 pre_d = np.add.outer(pre_d, ax * dstr[a]).reshape(-1)
             ks = np.arange(0, shp[-1], B, dtype=np.int64)
             ss.append((base_s + np.add.outer(pre_s, ks)).reshape(-1))
-            dd.append((base_d + np.add.outer(pre_d, ks)).reshape(-1))
+            dd.append((base_d + np.add.outer(pre_d, ks * dstr[-1]))
+                      .reshape(-1))
         if not ss:
             z = np.zeros(0, np.int64)
             return z, z
@@ -641,7 +727,8 @@ class _PlanCache:
     def __call__(self, src: Partition, dst: Partition,
                  copy_add: str = "copy",
                  mask_src: Optional[np.ndarray] = None,
-                 mask_dst: Optional[np.ndarray] = None) -> RedistributionPlan:
+                 mask_dst: Optional[np.ndarray] = None,
+                 perm: Optional[Tuple[int, ...]] = None) -> RedistributionPlan:
         def mask_key(m):
             if m is None:
                 return None
@@ -650,7 +737,8 @@ class _PlanCache:
             m = np.ascontiguousarray(np.asarray(m).astype(bool))
             return (m.shape, hashlib.sha1(m.tobytes()).hexdigest())
 
-        key = (src, dst, copy_add, mask_key(mask_src), mask_key(mask_dst))
+        key = (src, dst, copy_add, mask_key(mask_src), mask_key(mask_dst),
+               None if perm is None else tuple(perm))
         with self._lock:
             plan = self._od.get(key)
             if plan is not None:
@@ -659,7 +747,8 @@ class _PlanCache:
                 return plan
             self.misses += 1
         plan = RedistributionPlan(src, dst, copy_add, mask_src=mask_src,
-                                  mask_dst=mask_dst)  # build unlocked
+                                  mask_dst=mask_dst,
+                                  perm=perm)  # build unlocked
         with self._lock:
             self._od[key] = plan
             budget = int(flags.get_cache_gb() * (1 << 30))
@@ -826,7 +915,7 @@ def _supports_ragged(mesh: Mesh) -> bool:
 
 
 def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
-                   axis: str, method: str):
+                   axis: str, method: str, alpha=None, out_dtype=None):
     """Static-copy executor: every seam-split piece becomes a static XLA
     slice (pack) / update (unpack) baked into a per-rank program selected
     with ``lax.switch(axis_index)`` — SPMD-legal rank specialization.
@@ -835,7 +924,14 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
     (the run-gather path degrades ~86x when box starts share no common
     divisor).  Local (i == j) pieces bypass the collective entirely and
     copy straight from the source block — the reference's local fragment
-    copies outside send_receive (dist.h:2392-2435)."""
+    copies outside send_receive (dist.h:2392-2435).
+
+    Masked plans (``plan.mask_mult``) keep the unmasked pieces and apply
+    the masks as elementwise multiplies: source block zeroed at
+    masked-out sites before pack (covers the local pieces too — they
+    read ``loc``), output zeroed at masked-out destinations after unpack
+    (the reference's masked index filtering inside the blocked pack,
+    dist.h:944-970, traded for copy-bandwidth box moves)."""
     n = plan.n
     ce = plan.counts_elems.astype(np.int64)
     np.fill_diagonal(ce, 0)                 # diagonal pieces stay local
@@ -878,12 +974,28 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
             return jnp.concatenate(parts)
         return f
 
+    perm = plan.perm
+
     def unpack_branch(j):
         def f(loc, recv):
-            out = jnp.zeros(dst_shape, loc.dtype)
+            odt = loc.dtype if out_dtype is None else out_dtype
+            out = jnp.zeros(dst_shape, odt)
 
             def apply(out, dfl, shp, piece):
-                sl = _slices(dfl, shp)
+                # pieces arrive in SOURCE axis order; permuting plans
+                # transpose each one into destination order here (the
+                # reference's one-plan o0 != o1 copy, dist.h:2455-2530),
+                # and alpha/precision conversion ride the same update
+                # (the T -> Q alpha copy, dist.h:3534-3583)
+                if perm is not None:
+                    piece = jnp.transpose(piece, perm)
+                    sl = tuple(slice(dfl[p], dfl[p] + shp[p])
+                               for p in perm)
+                else:
+                    sl = _slices(dfl, shp)
+                piece = piece.astype(odt)
+                if alpha is not None:
+                    piece = piece * alpha
                 return (out.at[sl].set(piece) if copy_add == "copy"
                         else out.at[sl].add(piece))
 
@@ -905,9 +1017,17 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
     pack_fns = [pack_branch(i) for i in range(n)]
     unpack_fns = [unpack_branch(j) for j in range(n)]
     counts_dev = jnp.asarray(ce.astype(np.int32))
+    ms = plan.mask_src_stack if plan.mask_mult else None
+    md = plan.mask_dst_stack if plan.mask_mult else None
 
-    def body(local):
+    def body(local, *masks):
+        it = iter(masks)
+        ms_l = next(it) if ms is not None else None   # [1, *src_shape]
+        md_l = next(it) if md is not None else None   # [1, *dst_shape]
+
         def run(loc):
+            if ms_l is not None:
+                loc = jnp.where(ms_l[0], loc, jnp.zeros((), loc.dtype))
             r = jax.lax.axis_index(axis)
             if no_comm:
                 recv = jnp.zeros((1,), loc.dtype)
@@ -923,6 +1043,8 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
                 else:
                     recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
             out = jax.lax.switch(r, unpack_fns, loc, recv)
+            if md_l is not None:
+                out = jnp.where(md_l[0], out, jnp.zeros((), out.dtype))
             return out[None]
         if cplx.is_carray(local):
             return cplx.cmap(lambda a: run(a[0]), local)
@@ -930,10 +1052,18 @@ def _execute_boxes(plan: RedistributionPlan, local_stack, mesh: Mesh,
 
     spec_data = PartitionSpec(axis, *([None] * len(plan.src_shape)))
     spec_out = PartitionSpec(axis, *([None] * len(plan.dst_shape)))
+    in_specs = [spec_data]
+    mask_args = []
+    if ms is not None:
+        mask_args.append(jnp.asarray(ms))
+        in_specs.append(spec_data)
+    if md is not None:
+        mask_args.append(jnp.asarray(md))
+        in_specs.append(spec_out)
     return shard_map(
-        body, mesh=mesh, in_specs=(spec_data,), out_specs=spec_out,
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec_out,
         check_vma=False,
-    )(local_stack)
+    )(local_stack, *mask_args)
 
 
 def _as_device_idx(a: np.ndarray):
@@ -949,10 +1079,15 @@ def _as_device_idx(a: np.ndarray):
 
 
 def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
-             method: str):
-    """Run one plan inside a shard_map over ``axis``."""
+             method: str, alpha=None, out_dtype=None):
+    """Run one plan inside a shard_map over ``axis``.  ``alpha`` scales
+    every moved element and ``out_dtype`` converts it, fused into the
+    unpack (the reference's templated T -> Q alpha copy on every path,
+    dist.h:3534-3583)."""
     if plan.pack == "boxes":
-        return _execute_boxes(plan, local_stack, mesh, axis, method)
+        return _execute_boxes(plan, local_stack, mesh, axis, method,
+                              alpha=alpha, out_dtype=out_dtype)
+    assert plan.perm is None, "permuting plans always pack as boxes"
     n, B = plan.n, plan.block
     if plan.counts.max(initial=0) >= np.iinfo(np.int32).max:
         # the PLAN builds with 64-bit metadata (tensor.h:1113-1129
@@ -1001,10 +1136,13 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
 
         def body(local, sstarts, rstarts):
             def run(loc):
+                odt = loc.dtype if out_dtype is None else out_dtype
                 send = gath(loc, sstarts[0])
                 recv = exchange(send, counts, cap_recv, axis)
-                out = (_take_rows_inverse(recv, rstarts[0], loc.dtype)
-                       if inv_take else scat(recv, rstarts[0], loc.dtype))
+                if alpha is not None:
+                    recv = recv.astype(odt) * alpha
+                out = (_take_rows_inverse(recv, rstarts[0], odt)
+                       if inv_take else scat(recv, rstarts[0], odt))
                 return out.reshape((1,) + dst_shape)
             if cplx.is_carray(local):
                 return cplx.cmap(lambda a: run(a[0]), local)
@@ -1033,12 +1171,15 @@ def _execute(plan: RedistributionPlan, local_stack, mesh: Mesh, axis: str,
         # local [1, *src_shape]; pidx [1, n, s];
         # uidx [n, 1, s] (scatter) or [1, rows] (inverse take)
         def run(loc):
+            odt = loc.dtype if out_dtype is None else out_dtype
             send = gath(loc, pidx[0].reshape(-1))          # [n*s, B]
             recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+            if alpha is not None:
+                recv = recv.astype(odt) * alpha
             if inv_take:
-                out = _take_rows_inverse(recv, uidx[0], loc.dtype)
+                out = _take_rows_inverse(recv, uidx[0], odt)
             else:
-                out = scat(recv, uidx[:, 0, :].reshape(-1), loc.dtype)
+                out = scat(recv, uidx[:, 0, :].reshape(-1), odt)
             return out.reshape((1,) + dst_shape)
         if cplx.is_carray(local):
             return cplx.cmap(lambda a: run(a[0]), local)
@@ -1086,6 +1227,9 @@ def redistribute_explicit(
     method: str = "auto",
     mask_src: Optional[np.ndarray] = None,
     mask_dst: Optional[np.ndarray] = None,
+    perm: Optional[Tuple[int, ...]] = None,
+    alpha=None,
+    out_dtype=None,
 ):
     """Move data between arbitrary partitions with explicit collectives.
 
@@ -1100,11 +1244,24 @@ def redistribute_explicit(
     ZERO.  The reference's masked distributed copy (dist.h:3534 mask
     arguments; mask-aware plans dist.h:1852-1916).
 
+    ``perm``: label permutation when ``dst`` partitions the PERMUTED
+    lattice (``labels.find_permutation(o0, o1)``; the reference's
+    one-plan o0 != o1 copy, dummy_normalize_copy dist.h:2455-2530).
+    ``alpha``/``out_dtype``: scale + precision-convert every moved
+    element inside the one executor call (the templated T -> Q alpha
+    copy, dist.h:3534-3583) — no extra materialization pass.  Complex
+    ``alpha`` with a CArray input is applied as one fused pre-scale.
+
     Reference analog: the distributed copy dispatch dist.h:3534 ->
     send_receive dist.h:1426-1573.
     """
+    if alpha is not None and isinstance(alpha, complex) and alpha.imag != 0:
+        if not cplx.is_carray(local_stack):
+            raise ValueError("complex alpha needs a CArray input")
+        local_stack = cplx.scale(alpha, local_stack)
+        alpha = None
     plan = make_plan(src, dst, copy_add, mask_src=mask_src,
-                     mask_dst=mask_dst)
+                     mask_dst=mask_dst, perm=perm)
     if axis not in mesh.shape or mesh.shape[axis] != plan.n:
         raise ValueError(
             f"redistribute_explicit: mesh axis {axis!r} must have exactly "
@@ -1114,7 +1271,8 @@ def redistribute_explicit(
     method = _resolve_method(method, mesh, axis)
     if flags.get_debug_level() >= 2:
         _debug_replay(plan, src, dst, mesh, axis, method)
-    return _execute(plan, local_stack, mesh, axis, method)
+    return _execute(plan, local_stack, mesh, axis, method,
+                    alpha=alpha, out_dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -1144,8 +1302,12 @@ def _debug_replay(plan: RedistributionPlan, src: Partition, dst: Partition,
         if volume(dsz) == 0:
             continue
         coords = np.meshgrid(*[np.arange(f, f + s) % d
-                               for f, s, d in zip(dfrm, dsz, dim)],
+                               for f, s, d in zip(dfrm, dsz, dst.dim)],
                              indexing="ij")
+        if plan.perm is not None:
+            # dst boxes/coords live on the permuted lattice; map back to
+            # source axis order for the coverage/source checks
+            coords = [coords[plan._inv[a]] for a in range(len(dim))]
         gblk = gidx[tuple(coords)]
 
         def src_active(i):
@@ -1201,6 +1363,13 @@ def _debug_replay(plan: RedistributionPlan, src: Partition, dst: Partition,
 # unified entry: GSPMD when expressible, explicit collectives otherwise
 
 
+def _scalar_key(a):
+    """Hashable cache-key form of an alpha scalar."""
+    if a is None:
+        return None
+    return complex(a) if isinstance(a, complex) else float(a)
+
+
 @functools.lru_cache(maxsize=256)
 def _full_support_cached(part: Partition) -> bool:
     """has_full_support runs box-subtraction recursion — cache it so the
@@ -1213,7 +1382,9 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
                  mesh: Optional[Mesh] = None, axis: str = "p",
                  copy_add: str = "copy", method: str = "auto",
                  mask_src: Optional[np.ndarray] = None,
-                 mask_dst: Optional[np.ndarray] = None):
+                 mask_dst: Optional[np.ndarray] = None,
+                 order_dst: Optional[str] = None,
+                 alpha=None, out_dtype=None):
     """Move ``x`` from partition ``src`` to ``dst``, picking the path
     automatically — the reference's single ``copy()`` entry (dist.h:3534)
     that internally chooses direct assignment vs send_receive.
@@ -1230,13 +1401,37 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
       * **stacked-local** ``[nprocs, *src_max_shape]`` sharded over
         ``mesh`` axis ``axis`` (the irregular-partition container):
         always the explicit blocked-run collective path.
+
+    ``order_dst``: destination label order when it differs from
+    ``order`` — ``dst`` then partitions the permuted lattice and the
+    copy permutes labels in the same plan (``dummy_normalize_copy``,
+    dist.h:2455-2530).  ``alpha``/``out_dtype``: fused scale + precision
+    conversion (dist.h:3534-3583).
     """
+    perm = None
+    if order_dst is not None:
+        if order is None:
+            raise ValueError("order_dst needs the source label order too")
+        if order_dst != order:
+            from ..labels import find_permutation
+
+            perm = find_permutation(order, order_dst)
+            if -1 in perm or len(perm) != len(order):
+                raise ValueError(
+                    f"order_dst {order_dst!r} is not a permutation of "
+                    f"order {order!r}")
     if cplx.is_carray(x):
+        if alpha is not None and isinstance(alpha, complex) \
+                and alpha.imag != 0:
+            x = cplx.scale(alpha, x)
+            alpha = None
         return cplx.CArray(
             redistribute_auto(x.re, src, dst, order, mesh, axis, copy_add,
-                         method, mask_src, mask_dst),
+                         method, mask_src, mask_dst, order_dst,
+                         alpha, out_dtype),
             redistribute_auto(x.im, src, dst, order, mesh, axis, copy_add,
-                         method, mask_src, mask_dst))
+                         method, mask_src, mask_dst, order_dst,
+                         alpha, out_dtype))
     n = len(src.boxes)
     src_shape = tuple(max((b[1][i] for b in src.boxes), default=0)
                       for i in range(len(src.dim)))
@@ -1246,7 +1441,9 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
             raise ValueError("stacked-local redistribution needs a mesh")
         return redistribute_explicit(x, src, dst, mesh, axis=axis,
                                      copy_add=copy_add, method=method,
-                                     mask_src=mask_src, mask_dst=mask_dst)
+                                     mask_src=mask_src, mask_dst=mask_dst,
+                                     perm=perm, alpha=alpha,
+                                     out_dtype=out_dtype)
     if shp != tuple(src.dim):
         raise ValueError(
             f"x has shape {shp}: neither the global form {tuple(src.dim)} "
@@ -1255,7 +1452,7 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
         raise ValueError("global-array redistribution needs the label order")
     from .mesh import partition_sharding
 
-    s_dst = partition_sharding(dst, order)
+    s_dst = partition_sharding(dst, order_dst or order)
     # the GSPMD fast path reinterprets x's existing global values; it is
     # only equivalent to the explicit path when the source covers the
     # lattice — a partial src leaves uncovered destinations ZERO on the
@@ -1264,7 +1461,24 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
     if (s_dst is not None and copy_add == "copy"
             and mask_src is None and mask_dst is None
             and _full_support_cached(src)):
-        return jax.device_put(x, s_dst)
+        if perm is None and alpha is None and out_dtype is None:
+            return jax.device_put(x, s_dst)
+        # one jitted transpose/scale/convert with the target sharding —
+        # GSPMD fuses the movement with the elementwise work
+        key = ("gspmd_pc", s_dst, perm, _scalar_key(alpha), out_dtype,
+               x.dtype, x.shape)
+
+        def make():
+            def f(v):
+                if perm is not None:
+                    v = jnp.transpose(v, perm)
+                if out_dtype is not None:
+                    v = v.astype(out_dtype)
+                if alpha is not None:
+                    v = v * alpha
+                return v
+            return jax.jit(f, out_shardings=s_dst)
+        return _cached_jit(key, make)(x)
 
     # explicit fallback through the stacked-local container, packed and
     # unpacked ON DEVICE (jitted static slices — GSPMD moves the shards;
@@ -1280,7 +1494,8 @@ def redistribute_auto(x, src: Partition, dst: Partition, order: Optional[str] = 
     xd = pack_global_device(x, src, mesh, axis)
     out = redistribute_explicit(xd, src, dst, mesh, axis=axis,
                                 copy_add=copy_add, method=method,
-                                mask_src=mask_src, mask_dst=mask_dst)
+                                mask_src=mask_src, mask_dst=mask_dst,
+                                perm=perm, alpha=alpha, out_dtype=out_dtype)
     glob = unpack_global_device(out, dst, s_dst)
     return glob
 

@@ -1,0 +1,160 @@
+"""Seeded randomized distributed-contraction sweep — parity harness for
+the reference's exhaustive `tests/contract.cpp:41-433` matrix.
+
+The reference sweeps every (NT, NA, NB, NC) rank split, all 6 label
+orders per operand, +/-conj, alpha/beta in {0, +/-1} and 6 distribution
+pairs against a dense oracle, with a `--test=N` bisection knob.  Here
+the same case space is sampled from a FIXED seed so every CI run covers
+the same cases, against `numpy_contraction_reference`:
+
+  * NT/NA/NB/NC in {0, 1, 2}: batch (shared), contracted, x0-only and
+    x1-only label counts — including the degenerate no-batch /
+    no-contraction / vector corners;
+  * independently shuffled label orders for x0, x1 and r;
+  * conj0/conj1, alpha/beta in {0, +1, -1} (beta == 0 also exercises
+    the r=None allocation path);
+  * 6 distribution pairs (everyone/replicated/master crossings), with
+    the sharded mesh axis landing on a batch, contracted, or free label.
+
+Knobs (the `--test=N` analog):
+  * SBT_SWEEP_CASE=N  — run exactly case N (bisection);
+  * SBT_SWEEP_N=K     — number of sampled cases (default 120);
+  * SBT_SWEEP_FULL=1  — the full 2000-case soak (slow; off in CI).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from superbblas_tpu import parallel as par
+from superbblas_tpu.utils import numpy_contraction_reference
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return par.make_mesh({"x": 2, "y": 2, "t": 2})
+
+
+#: label pools per group: batch (T), contracted (A), x0-only (B),
+#: x1-only (C).  Sizes are small but unequal to catch axis mixups;
+#: the first label of each group is mesh-divisible (size 2/4) so it can
+#: carry a sharded axis.
+_POOLS = {"T": ("t", "u"), "A": ("a", "d"), "B": ("b", "e"),
+          "C": ("c", "f")}
+_SIZES = {"t": 4, "u": 3, "a": 2, "d": 3, "b": 2, "e": 3, "c": 4, "f": 3}
+
+#: the 6 distribution pairs of contract.cpp (OnMaster / OnEveryone /
+#: OnEveryoneReplicated crossings)
+_DIST_PAIRS = [
+    ("everyone", "everyone"),
+    ("everyone", "replicated"),
+    ("replicated", "everyone"),
+    ("master", "everyone"),
+    ("everyone", "master"),
+    ("replicated", "replicated"),
+]
+
+
+def _gen_case(rng):
+    """One sampled case: label groups, orders, scalars, distributions."""
+    nt, na, nb, nc = (int(rng.integers(0, 3)) for _ in range(4))
+    if na + nb == 0 or na + nc == 0:
+        # x0 or x1 would be rank-(nt): allowed, but ensure not BOTH
+        # operands collapse to pure batch with no result labels at all
+        if nt == 0:
+            nt = 1
+    T = list(_POOLS["T"][:nt])
+    A = list(_POOLS["A"][:na])
+    B = list(_POOLS["B"][:nb])
+    C = list(_POOLS["C"][:nc])
+    o0 = T + A + B
+    o1 = T + A + C
+    o_r = T + B + C
+    rng.shuffle(o0)
+    rng.shuffle(o1)
+    rng.shuffle(o_r)
+    o0, o1, o_r = "".join(o0), "".join(o1), "".join(o_r)
+    conj0 = bool(rng.integers(0, 2))
+    conj1 = bool(rng.integers(0, 2))
+    alpha = float(rng.choice([0.0, 1.0, -1.0]))
+    beta = float(rng.choice([0.0, 1.0, -1.0]))
+    dist = _DIST_PAIRS[int(rng.integers(0, len(_DIST_PAIRS)))]
+    # which label carries the sharded mesh axis in the "everyone" layout
+    shard_group = rng.choice(["T", "A", "B", "C"])
+    return dict(o0=o0, o1=o1, o_r=o_r, conj0=conj0, conj1=conj1,
+                alpha=alpha, beta=beta, dist=dist,
+                shard_group=str(shard_group))
+
+
+def _spec_for(order, dist, shard_label):
+    if dist == "replicated":
+        return P(*([None] * len(order)))
+    return P(*[("x" if c == shard_label else None) for c in order])
+
+
+def _place(x, order, dist, shard_label, mesh):
+    if dist == "master":
+        # the reference's OnMaster: the full operand lives on one rank;
+        # _harmonize broadcasts it onto the computation's device set
+        return jax.device_put(jnp.asarray(x), jax.devices()[0])
+    return jax.device_put(
+        jnp.asarray(x),
+        NamedSharding(mesh, _spec_for(order, dist, shard_label)))
+
+
+def _run_case(case_idx, case, mesh, atol=1e-12):
+    rng = np.random.default_rng(10_000 + case_idx)
+    shapes = {o: tuple(_SIZES[c] for c in case[o])
+              for o in ("o0", "o1", "o_r")}
+    x0 = (rng.standard_normal(shapes["o0"])
+          + 1j * rng.standard_normal(shapes["o0"]))
+    x1 = (rng.standard_normal(shapes["o1"])
+          + 1j * rng.standard_normal(shapes["o1"]))
+    r = (rng.standard_normal(shapes["o_r"])
+         + 1j * rng.standard_normal(shapes["o_r"]))
+    pool = _POOLS[case["shard_group"]]
+    shard_label = pool[0] if pool else None
+    x0d = _place(x0, case["o0"], case["dist"][0], shard_label, mesh)
+    x1d = _place(x1, case["o1"], case["dist"][1], shard_label, mesh)
+    use_r = case["beta"] != 0.0
+    rd = (jax.device_put(
+        jnp.asarray(r),
+        NamedSharding(mesh, _spec_for(case["o_r"], "everyone",
+                                      shard_label)))
+        if use_r else None)
+    got = par.contraction(case["alpha"], x0d, case["o0"], case["conj0"],
+                          x1d, case["o1"], case["conj1"],
+                          case["beta"] if use_r else 0.0, rd, case["o_r"])
+    want = numpy_contraction_reference(
+        case["alpha"], x0, case["o0"], case["conj0"],
+        x1, case["o1"], case["conj1"],
+        case["beta"] if use_r else 0.0, r if use_r else None, case["o_r"])
+    np.testing.assert_allclose(
+        np.asarray(got), want, atol=atol,
+        err_msg=f"case {case_idx}: {case}")
+
+
+def _case_space(n):
+    rng = np.random.default_rng(20260819)
+    return [(i, _gen_case(rng)) for i in range(n)]
+
+
+def test_contraction_sweep(mesh):
+    """The sampled sweep (SBT_SWEEP_CASE bisects; SBT_SWEEP_N resizes)."""
+    n = int(os.environ.get("SBT_SWEEP_N", "120"))
+    only = os.environ.get("SBT_SWEEP_CASE")
+    for i, case in _case_space(n):
+        if only is not None and i != int(only):
+            continue
+        _run_case(i, case, mesh)
+
+
+@pytest.mark.skipif(os.environ.get("SBT_SWEEP_FULL") != "1",
+                    reason="2000-case soak: set SBT_SWEEP_FULL=1")
+def test_contraction_sweep_full(mesh):
+    for i, case in _case_space(2000):
+        _run_case(i, case, mesh)

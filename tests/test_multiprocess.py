@@ -109,6 +109,24 @@ if pid == 0:
         back, NamedSharding(mesh, P(None, None))).addressable_shards[0].data)
     assert np.array_equal(rd, gx2), "coordinated storage round-trip mismatch"
     S.close_storage(back)
+# 6. ASYNC coordinated writes: save_sharded_async from both processes
+# concurrently (the declare/barrier protocol must serialize the chunk
+# append while the block writes themselves race on the IO pool — the
+# MPI_File_iwrite analog, storage.h:294-306), then the reference-format
+# trailer CRC must still verify.
+spath2 = spath + ".async"
+sto2 = S.create_storage_sharded(spath2, "xy", gdim, dtype=np.float64,
+                                checksum=1)
+fut = S.save_sharded_async(sto2, xs2, "xy")
+fut.result()
+S.close_storage_sharded(sto2)
+if pid == 0:
+    back2 = S.open_storage(spath2, mode="r")
+    S.check_or_write_checksums(back2)
+    rd2 = np.asarray(S.load_sharded(
+        back2, NamedSharding(mesh, P(None, None))).addressable_shards[0].data)
+    assert np.array_equal(rd2, gx2), "async coordinated storage mismatch"
+    S.close_storage(back2)
 print(f"proc {pid}: MULTIPROCESS_OK", flush=True)
 '''
 

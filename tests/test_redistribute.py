@@ -250,9 +250,19 @@ def test_masked_explicit_fuzz(mesh1d, monkeypatch):
             R.make_plan.cache_clear()
         try:
             for mode in ("copy", "add"):
-                out = np.asarray(R.redistribute_explicit(
+                outs = {"auto": np.asarray(R.redistribute_explicit(
                     stack, src, dst, mesh1d, copy_add=mode,
-                    mask_src=mask0, mask_dst=mask1))
+                    mask_src=mask0, mask_dst=mask1))}
+                # both masked strategies: boxes (mask-multiply around the
+                # unmasked piece plan) and runs (element filtering)
+                for pck in ("boxes", "runs"):
+                    plan = R.RedistributionPlan(
+                        src, dst, mode, pack=pck,
+                        mask_src=mask0, mask_dst=mask1)
+                    assert plan.pack == pck
+                    assert plan.mask_mult == (pck == "boxes")
+                    outs[pck] = np.asarray(
+                        R._execute(plan, stack, mesh1d, "p", "dense"))
                 # per-site oracle: with GLOBAL masks every replica shares
                 # the mask value, so copy = x iff covered & m0 & m1;
                 # add = x * (#covering src boxes) * m0 * m1
@@ -273,10 +283,11 @@ def test_masked_explicit_fuzz(mesh1d, monkeypatch):
                         want = np.where(m & (ncov > 0), gx, 0.0)
                     else:
                         want = gx * ncov * m
-                    blk = out[j][tuple(slice(0, s) for s in dsz)]
-                    np.testing.assert_allclose(
-                        blk, want, atol=1e-12,
-                        err_msg=f"case {case} {mode} rank {j}")
+                    for label, out in outs.items():
+                        blk = out[j][tuple(slice(0, s) for s in dsz)]
+                        np.testing.assert_allclose(
+                            blk, want, atol=1e-12,
+                            err_msg=f"case {case} {mode} {label} rank {j}")
         finally:
             if case == 3:
                 monkeypatch.delenv("SBT_DEBUG", raising=False)
@@ -302,13 +313,155 @@ def test_masked_stacked_first_covering_rank(mesh1d):
     ms = np.zeros((n, 4), dtype=bool)
     ms[0] = [False, True, False, True]   # first covering rank
     ms[1] = [True, True, True, True]     # later replica: must NOT rescue
+    for pck in ("boxes", "runs"):
+        plan = R.RedistributionPlan(src, dst, "copy", pack=pck,
+                                    mask_src=ms)
+        out = np.asarray(R._execute(plan, stack, mesh1d, "p", "dense"))
+        np.testing.assert_array_equal(out[0], [0.0, 2.0, 0.0, 4.0],
+                                      err_msg=pck)
+        # add mode counts every unmasked replica
+        plan2 = R.RedistributionPlan(src, dst, "add", pack=pck,
+                                     mask_src=ms)
+        out2 = np.asarray(R._execute(plan2, stack, mesh1d, "p", "dense"))
+        np.testing.assert_array_equal(out2[0], [1.0, 4.0, 3.0, 8.0],
+                                      err_msg=pck)
+
+
+def _rand_boxes(rng, dim, n):
+    boxes = []
+    for _ in range(n):
+        f = tuple(int(rng.integers(0, d)) for d in dim)
+        s = tuple(int(rng.integers(1, d + 1)) for d in dim)
+        boxes.append((f, s))
+    return tuple(boxes)
+
+
+def test_permuting_converting_explicit_fuzz(mesh1d):
+    """ONE-plan label-permuting + alpha-scaling + precision-converting
+    explicit copy (round-3 VERDICT missing #1/#2): the dst partition
+    lives on the PERMUTED lattice, moved values are scaled and converted
+    f32 -> f64 inside the same executor call, fuzzed against a per-site
+    oracle on wrapped/overlapping partitions, both semantics and both
+    exchange methods.  Reference: dummy_normalize_copy/translate_range
+    (dist.h:2455-2530, 596-654) + the templated alpha copy
+    (dist.h:3534-3583)."""
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(4242)
+    dim = (8, 6, 4)          # distinct extents catch axis mixups
+    perm = (2, 0, 1)         # dst axis k <- src axis perm[k]
+    inv = [0] * 3
+    for k, p in enumerate(perm):
+        inv[p] = k
+    dim_d = tuple(dim[p] for p in perm)
+    n = 8
+    alpha = -1.75
+    for case in range(3):
+        src = Partition(dim=dim, boxes=_rand_boxes(rng, dim, n))
+        dst = Partition(dim=dim_d, boxes=_rand_boxes(rng, dim_d, n))
+        x = rng.standard_normal(dim).astype(np.float32)
+        xt = np.transpose(x, perm)          # xt[c] = x at src coords
+        stack = put(R.pack_global(x, src), mesh1d)
+        for mode in ("copy", "add"):
+            for method in ("dense", "ragged"):
+                out = np.asarray(R.redistribute_explicit(
+                    stack, src, dst, mesh1d, copy_add=mode, method=method,
+                    perm=perm, alpha=alpha, out_dtype=np.float64))
+                assert out.dtype == np.float64
+                for j, (dfrm, dsz) in enumerate(dst.boxes):
+                    coords = np.meshgrid(
+                        *[np.arange(f, f + s) % d
+                          for f, s, d in zip(dfrm, dsz, dim_d)],
+                        indexing="ij")
+                    gx = xt[tuple(coords)].astype(np.float64)
+                    coords_s = [coords[inv[a]] for a in range(3)]
+                    ncov = np.zeros(dsz, dtype=np.int64)
+                    for sfrm, ssz in src.boxes:
+                        inbox = np.ones(dsz, dtype=bool)
+                        for c, f, z, d in zip(coords_s, sfrm, ssz, dim):
+                            inbox &= ((c - f) % d) < z
+                        ncov += inbox
+                    if mode == "copy":
+                        want = np.where(ncov > 0, alpha * gx, 0.0)
+                    else:
+                        want = alpha * gx * ncov
+                    blk = out[j][tuple(slice(0, s) for s in dsz)]
+                    np.testing.assert_allclose(
+                        blk, want, atol=1e-6,
+                        err_msg=f"case {case} {mode} {method} rank {j}")
+
+
+def test_permuting_masked_and_auto(mesh1d):
+    """Permuting plans compose with masks (dst mask in DESTINATION axis
+    order) and with the redistribute_auto global entry (order_dst +
+    fused transpose/scale/convert on both the GSPMD fast path and the
+    explicit fallback)."""
+    from superbblas_tpu.parallel import Partition
+
+    rng = np.random.default_rng(7)
+    dim = (6, 4)
+    perm = (1, 0)
+    dim_d = (4, 6)
+    n = 8
+    src = Partition(dim=dim, boxes=_rand_boxes(rng, dim, n))
+    dst = Partition(dim=dim_d, boxes=_rand_boxes(rng, dim_d, n))
+    x = rng.standard_normal(dim).astype(np.float32)
+    m0 = rng.random(dim) < 0.6
+    m1 = rng.random(dim_d) < 0.6
+    stack = put(R.pack_global(x, src), mesh1d)
     out = np.asarray(R.redistribute_explicit(
-        stack, src, dst, mesh1d, copy_add="copy", mask_src=ms))
-    np.testing.assert_array_equal(out[0], [0.0, 2.0, 0.0, 4.0])
-    # add mode counts every unmasked replica
-    out2 = np.asarray(R.redistribute_explicit(
-        stack, src, dst, mesh1d, copy_add="add", mask_src=ms))
-    np.testing.assert_array_equal(out2[0], [1.0, 4.0, 3.0, 8.0])
+        stack, src, dst, mesh1d, copy_add="copy", perm=perm,
+        mask_src=m0, mask_dst=m1, alpha=3.0, out_dtype=np.float64))
+    xt = np.transpose(x, perm)
+    for j, (dfrm, dsz) in enumerate(dst.boxes):
+        coords = np.meshgrid(*[np.arange(f, f + s) % d
+                               for f, s, d in zip(dfrm, dsz, dim_d)],
+                             indexing="ij")
+        coords_s = [coords[1], coords[0]]
+        ncov = np.zeros(dsz, dtype=np.int64)
+        for sfrm, ssz in src.boxes:
+            inbox = np.ones(dsz, dtype=bool)
+            for c, f, z, d in zip(coords_s, sfrm, ssz, dim):
+                inbox &= ((c - f) % d) < z
+            ncov += inbox
+        m = m0[tuple(coords_s)] & m1[tuple(coords)]
+        want = np.where(m & (ncov > 0), 3.0 * xt[tuple(coords)], 0.0)
+        blk = out[j][tuple(slice(0, s) for s in dsz)]
+        np.testing.assert_allclose(blk, want, atol=1e-6,
+                                   err_msg=f"rank {j}")
+
+    # redistribute_auto global form: explicit fallback (irregular dst)
+    got = np.asarray(R.redistribute_auto(
+        x, src, dst, order="xy", order_dst="yx",
+        mesh=mesh1d, alpha=2.0, out_dtype=np.float64))
+    assert got.dtype == np.float64 and got.shape == dim_d
+    # later ranks win on unpack overlap — check sites covered by the
+    # LAST covering dst rank against 2 * x^T there; every covered site
+    # must carry either 0 (uncovered src) or the scaled value
+    xt64 = 2.0 * np.transpose(x, perm).astype(np.float64)
+    cov_src = np.zeros(dim, dtype=bool)
+    for sfrm, ssz in src.boxes:
+        idx = np.ix_(*[np.arange(f, f + s) % d
+                       for f, s, d in zip(sfrm, ssz, dim)])
+        cov_src[idx] = True
+    want_glob = np.where(np.transpose(cov_src, perm), xt64, 0.0)
+    cov_dst = np.zeros(dim_d, dtype=bool)
+    for dfrm, dsz in dst.boxes:
+        idx = np.ix_(*[np.arange(f, f + s) % d
+                       for f, s, d in zip(dfrm, dsz, dim_d)])
+        cov_dst[idx] = True
+    np.testing.assert_allclose(np.where(cov_dst, got, 0.0),
+                               np.where(cov_dst, want_glob, 0.0),
+                               atol=1e-6)
+
+    # GSPMD fast path: regular full-cover partitions, fused
+    # transpose+scale+convert via out_shardings
+    srcg = par.basic_partitioning("xy", dim, (2, 4))
+    dstg = par.basic_partitioning("yx", dim_d, (4, 2))
+    got2 = np.asarray(R.redistribute_auto(
+        x, srcg, dstg, order="xy", order_dst="yx",
+        mesh=mesh1d, alpha=2.0, out_dtype=np.float64))
+    np.testing.assert_allclose(got2, xt64, atol=1e-6)
 
 
 def test_pack_strategies_match(mesh1d):
@@ -691,10 +844,11 @@ def test_giant_plan_int64_metadata():
     assert plan.pack == "boxes"
 
 
-def test_masked_plan_rejects_boxes_pack():
-    """Masked plans are element-granularity after filtering; an EXPLICIT
-    pack='boxes' request cannot be honored and must raise rather than be
-    silently overridden (auto/None resolve to 'runs')."""
+def test_masked_plan_pack_strategies():
+    """Masked plans support BOTH packers (round-3 VERDICT item 2):
+    pack='boxes' keeps the unmasked piece plan with mask multiplies
+    (mask_mult; default — copy bandwidth), pack='runs' filters to
+    element granularity (post-mask counts)."""
     from superbblas_tpu.parallel import Partition
 
     dim = (8,)
@@ -702,13 +856,20 @@ def test_masked_plan_rejects_boxes_pack():
     dst = Partition(dim=dim, boxes=(((0,), (8,)), ((0,), (0,))))
     mask = np.ones(dim, bool)
     mask[::2] = False
-    with pytest.raises(ValueError, match="element-granularity"):
-        R.RedistributionPlan(src, dst, "copy", pack="boxes", mask_src=mask)
-    plan = R.RedistributionPlan(src, dst, "copy", mask_src=mask)
-    assert plan.pack == "runs"
+    plan = R.RedistributionPlan(src, dst, "copy", pack="boxes",
+                                mask_src=mask)
+    assert plan.pack == "boxes" and plan.mask_mult
+    # boxes keeps UNMASKED counts (masked-out sites travel as zeros)
+    assert int(plan.counts_elems.sum()) == int(np.prod(dim))
+    plan2 = R.RedistributionPlan(src, dst, "copy", pack="runs",
+                                 mask_src=mask)
+    assert plan2.pack == "runs" and not plan2.mask_mult
     # post-mask element totals drive the degeneration warning, not the
     # unmasked piece volumes
-    assert int(plan.counts_elems.sum()) == int(mask.sum())
+    assert int(plan2.counts_elems.sum()) == int(mask.sum())
+    # default (auto) resolves to the boxes strategy at this piece count
+    plan3 = R.RedistributionPlan(src, dst, "copy", mask_src=mask)
+    assert plan3.pack == "boxes" and plan3.mask_mult
 
 
 def test_validate_overlap_sweep():

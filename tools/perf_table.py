@@ -112,6 +112,16 @@ def main():
     ru_gb, ru_dt = bench_mod.bench_redistribute_unaligned()
     print(f"{'explicit redistribution (unaligned, boxes)':44s} "
           f"{ru_dt*1e3:8.3f}ms {ru_gb:10.1f} GB/s")
+    mk_gb, mk_dt = bench_mod.bench_redistribute_masked()
+    print(f"{'masked redistribution (parity, boxes)':44s} "
+          f"{mk_dt*1e3:8.3f}ms {mk_gb:10.1f} GB/s")
+
+    # gather-mode halo matvec (bounded-irregular operator) + CA power=2
+    gh_gf, gh2_gf, gh_dt = bench_mod.bench_gather_halo()
+    print(f"{'gather-halo matvec (irregular, 8 rhs)':44s} "
+          f"{gh_dt*1e3:8.3f}ms {gh_gf/1e3:10.2f} TFLOP/s")
+    print(f"{'gather-halo matvec, CA power=2':44s} "
+          f"{'':>10s} {gh2_gf/1e3:10.2f} TFLOP/s")
 
 
 if __name__ == "__main__":
