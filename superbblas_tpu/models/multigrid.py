@@ -141,11 +141,20 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
 
     from ..solvers import power_iteration
 
-    lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v), iters=20)
-    omega = 0.8 / jnp.maximum(lam, 1e-30)
-    for _ in range(setup_iters):
-        av = A(v)
-        v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+    # one jitted program for the whole smoothing stage (power iteration
+    # + setup_iters weighted-Richardson steps): per-op eager dispatch is
+    # tunnel-latency-bound on real hardware (round-4 mg_wallclock setup
+    # measured 531 s eager at 8^4)
+    def _smooth(v):
+        lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v),
+                                 iters=20)
+        omega = 0.8 / jnp.maximum(lam, 1e-30)
+        for _ in range(setup_iters):
+            av = A(v)
+            v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+        return v
+
+    v = jax.jit(_smooth)(v)
 
     # aggregate + batched QR orthonormalization (complex via the dense
     # layer's interleaved real embedding is overkill here: QR per
@@ -184,9 +193,19 @@ def coarse_matrix(op: BSROperator, P: cplx.CArray, block=(2, 2, 2, 2),
     blk = _blk_shape(op)
     eye = np.eye(M).reshape(clat + (K, M))
     basis = cplx.CArray(jnp.asarray(eye), jnp.zeros_like(jnp.asarray(eye)))
-    cols = _prolong(P, basis, block, sc=blk)               # [*lat,*blk,M]
-    acols = _level_apply(op, cols, normal)
-    r = _restrict(P, acols, block, n_blk=len(blk))         # [*clat,K,M]
+
+    # ONE jitted program: eager per-op dispatch costs minutes through a
+    # high-latency device tunnel (measured 531 s setup at 8^4 in
+    # experiments/mg_wallclock.py round 4).  The operator rides the
+    # closure (value-specialized kernels, CLAUDE.md); the O(vol*M)
+    # basis rides as an ARGUMENT (huge jit constants trip remote-compile
+    # upload limits).
+    def _galerkin(P, basis):
+        cols = _prolong(P, basis, block, sc=blk)           # [*lat,*blk,M]
+        acols = _level_apply(op, cols, normal)
+        return _restrict(P, acols, block, n_blk=len(blk))  # [*clat,K,M]
+
+    r = jax.jit(_galerkin)(P, basis)
     return cplx.cmap(lambda a: a.reshape(M, M), r)
 
 
@@ -397,11 +416,20 @@ def build_prolongator_chiral(op: BSROperator, block=(2, 2, 2, 2),
 
     from ..solvers import power_iteration
 
-    lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v), iters=20)
-    omega = 0.8 / jnp.maximum(lam, 1e-30)
-    for _ in range(setup_iters):
-        av = A(v)
-        v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+    # one jitted program for the whole smoothing stage (power iteration
+    # + setup_iters weighted-Richardson steps): per-op eager dispatch is
+    # tunnel-latency-bound on real hardware (round-4 mg_wallclock setup
+    # measured 531 s eager at 8^4)
+    def _smooth(v):
+        lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v),
+                                 iters=20)
+        omega = 0.8 / jnp.maximum(lam, 1e-30)
+        for _ in range(setup_iters):
+            av = A(v)
+            v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+        return v
+
+    v = jax.jit(_smooth)(v)
 
     # chiral doubling: [..., 4, 3, K] -> [..., 4, 3, 2K] with the upper
     # (spins 0:2) and lower (spins 2:4) halves in separate columns
