@@ -249,12 +249,14 @@ def bench_eo_packed(lat=(8, 8, 16, 128), ncols=8):
 
 
 def bench_redistribute(dim=(2048, 8192)):
-    """Blocked-run explicit redistribution bandwidth on one chip: a
-    toroidally-shifted full-box destination (both axes wrap) drives the
-    gather -> exchange -> scatter machinery through a real plan; with one
-    rank the exchange is local, so this measures the run-blocked
-    pack/unpack data path itself (the dist.h:798-1010 analog).  Target:
-    within 2x of the plain-copy (shift) bandwidth."""
+    """Explicit redistribution bandwidth on one chip: a toroidally-
+    shifted full-box destination (both axes wrap) drives the
+    pack -> exchange -> unpack machinery through a real plan.  NOTE:
+    with ONE rank every piece is local — this measures the pack/unpack
+    data path (auto resolves to the boxes packer here), not the
+    collective; the multi-device exchange is exercised by
+    dryrun_multichip and the CPU-mesh tests (the dist.h:798-1010
+    analog).  Target: within 2x of the plain-copy (shift) bandwidth."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -298,7 +300,10 @@ def bench_redistribute_unaligned(dim=(2048, 8192)):
     seam-split pieces as static XLA copies at copy bandwidth — the
     general-geometry analog of the reference's common-blocking packer
     (dist.h:798-1010), which this line exists to beat (done-criterion:
-    >= 60 GB/s on v5e, VERDICT round 2 item 1)."""
+    >= 60 GB/s on v5e, VERDICT round 2 item 1).  NOTE: one rank = all
+    pieces local; this proves pack/unpack bandwidth at gcd=1 geometry,
+    while the multi-device boxes EXCHANGE runs in dryrun_multichip and
+    the CPU-mesh tests."""
     import jax
     import jax.numpy as jnp
     import numpy as np
