@@ -1,4 +1,5 @@
 from .testing import (
+    check_collective_consistency,
     check_consistency,
     numpy_contraction_reference,
     numpy_copy_reference,
@@ -6,6 +7,7 @@ from .testing import (
 )
 
 __all__ = [
+    "check_collective_consistency",
     "check_consistency",
     "numpy_contraction_reference",
     "numpy_copy_reference",

@@ -5,9 +5,12 @@ TPU-native re-creation of the reference's debug nets:
     tensors whose values are global linear indices and compare against an
     independently computed truth;
   * numpy reference implementations usable as test oracles;
-  * cross-process consistency checks are unnecessary in the JAX model
-    (single logical program, no SPMD divergence possible), so
-    ``check_consistency`` only validates metadata self-consistency.
+  * cross-process consistency (dist.h:708-737): XLA collectives cannot
+    diverge (single traced program), so ``check_consistency`` validates
+    metadata self-consistency locally — but HOST-side collective
+    protocol (coordinated storage barriers) can diverge, and
+    ``check_collective_consistency`` hashes call metadata across
+    processes at SBT_DEBUG>=1 to catch it.
 """
 
 from __future__ import annotations
@@ -71,6 +74,48 @@ def verify_copy(shape0, o0, shape1, o1, from0, size0, from1, copy_add):
             f"mock-index copy verification failed at {bad[:5].tolist()} "
             f"(and {max(len(bad) - 5, 0)} more)"
         )
+
+
+def check_collective_consistency(tag, payload):
+    """Cross-process agreement check for HOST-side collective protocol
+    (barriers, coordinated storage writes) — the analog of the
+    reference's ``check_consistency``, which hashes call metadata across
+    MPI ranks at every collective entry (dist.h:708-737).
+
+    XLA collectives cannot diverge (single traced program), but host-side
+    coordination CAN: any code that branches a barrier schedule on
+    locally-read state (file contents, wall clock, rng) desynchronizes
+    the processes — exactly the ``save_sharded`` conditional-declare bug
+    of round 4.  This net catches it at authoring time: every process
+    hashes ``(tag, payload)``, the hashes are allgathered, and ALL
+    processes raise together on any mismatch (an allgather, not a
+    broadcast-and-compare, so no process is left hanging at the next
+    barrier while another died).
+
+    Enabled at ``SBT_DEBUG>=1`` by the coordinated-storage entry points;
+    free single-process.  ``payload`` must repr deterministically
+    (tuples of ints/strings — no sets/dicts with unstable order).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import hashlib
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    h = hashlib.sha256(repr((tag, payload)).encode()).digest()[:8]
+    mine = np.frombuffer(h, dtype=np.uint64)
+    allh = multihost_utils.process_allgather(mine)
+    if not (allh == allh[0]).all():
+        bad = [int(i) for i in range(len(allh)) if allh[i] != allh[0]]
+        raise RuntimeError(
+            f"cross-process divergence at collective entry {tag!r}: "
+            f"processes {bad} disagree with process 0 on the call "
+            f"metadata (local payload: {payload!r}).  A barrier schedule "
+            "was branched on locally-divergent state; see "
+            "storage._declare_coordinated for the protocol rules.")
 
 
 def check_consistency(**metadata):

@@ -19,6 +19,7 @@ _WORKER = r'''
 import os, sys
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["SBT_DEBUG"] = "1"   # arm the cross-process consistency net
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -127,6 +128,50 @@ if pid == 0:
         back2, NamedSharding(mesh, P(None, None))).addressable_shards[0].data)
     assert np.array_equal(rd2, gx2), "async coordinated storage mismatch"
     S.close_storage(back2)
+
+# 7. REGRESSION (round-4 VERDICT item 1): forced declare SKEW.  Process 1
+# stalls its create-time open, so process 0 sprints ahead — its first
+# save_sharded APPENDS blocks to the file BEFORE process 1 ever reads it.
+# Process 1 then opens a file whose block table is already non-empty.
+# The old conditional declare (`if not sto.blocks:`) skipped the declare
+# barrier on process 1 here and desynchronized the barrier schedule
+# (sync_global_devices name mismatch); the fix enters _declare_coordinated
+# unconditionally and lets process 0 decide under the barrier.
+import time
+_orig_open = S.open_storage
+_slept = [False]
+def _slow_open(path, mode="r"):
+    if pid != 0 and path.endswith(".skew") and not _slept[0]:
+        _slept[0] = True
+        time.sleep(2.0)      # let process 0 reach its save + append first
+    return _orig_open(path, mode)
+S.open_storage = _slow_open
+spath3 = spath + ".skew"
+sto3 = S.create_storage_sharded(spath3, "xy", gdim, dtype=np.float64,
+                                checksum=1)
+S.save_sharded(sto3, xs2, "xy")
+S.save_sharded(sto3, xs2, "xy")   # second save: already-declared branch
+S.close_storage_sharded(sto3)
+S.open_storage = _orig_open
+if pid == 0:
+    back3 = S.open_storage(spath3, mode="r")
+    S.check_or_write_checksums(back3)
+    rd3 = np.asarray(S.load_sharded(
+        back3, NamedSharding(mesh, P(None, None))).addressable_shards[0].data)
+    assert np.array_equal(rd3, gx2), "skewed-declare round-trip mismatch"
+    S.close_storage(back3)
+
+# 8. the SBT_DEBUG>=1 net CATCHES divergence: feed it the round-4 bug's
+# exact shape — a declare decision branched on locally-divergent state.
+# All processes must raise TOGETHER (allgather, not broadcast+compare).
+from superbblas_tpu.utils import check_collective_consistency
+check_collective_consistency("sbt:test:agree", ("decision", True))
+try:
+    check_collective_consistency("sbt:test:diverge", ("decision", pid == 0))
+except RuntimeError as e:
+    assert "divergence" in str(e)
+else:
+    raise AssertionError("consistency net missed a divergent payload")
 print(f"proc {pid}: MULTIPROCESS_OK", flush=True)
 '''
 
