@@ -60,6 +60,10 @@ __all__ = [
     "load_stream",
     "save_stream",
     "check_or_write_checksums",
+    "read_storage_header",
+    "get_blocks",
+    "preallocate_storage",
+    "flush_storage",
     "close_storage",
     "save_sharded",
     "load_sharded",
@@ -137,6 +141,10 @@ class Storage:
     # lazy spatial index over blocks (GridHash, storage.h:552-684);
     # invalidated by append_blocks
     _grid: Optional[object] = field(default=None, repr=False, compare=False)
+    # outstanding async-write futures (MPI_File_iwrite analogs), resolved
+    # by flush_storage / close_storage
+    _pending: List[object] = field(default_factory=list, repr=False,
+                                   compare=False)
 
     @property
     def ndim(self) -> int:
@@ -817,9 +825,98 @@ def check_or_write_checksums(sto: Storage) -> None:
                 raise ValueError(f"{sto.path}: header checksum mismatch")
 
 
+def read_storage_header(path: str):
+    """Header fields only — ``(dtype, metadata, dim, checksum_level)`` —
+    without keeping a handle or the block index around
+    (read_storage_header, storage.h:2161, 2405)."""
+    sto = open_storage(path, mode="r")
+    return sto.dtype, sto.metadata, sto.dim, sto.checksum_level
+
+
+def get_blocks(sto: Storage, o0: str, o1: Optional[str] = None,
+               from1=None, size1=None):
+    """(from, size) boxes — in DESTINATION order ``o1`` — of the stored
+    blocks overlapping the window ``[from1, from1+size1)`` of a load into
+    a tensor ordered ``o1`` (get_blocks, storage.h:1397-1420, 2330-2344).
+
+    Each returned box is one contiguous fragment: toroidal overlaps are
+    seam-split exactly as :func:`load` consumes them, so the result is a
+    ready-made read plan.  ``o0`` is the storage's label order; labels of
+    ``o1`` absent from ``o0`` behave as extent-1 axes."""
+    check_order(o0)
+    if len(o0) != sto.ndim:
+        raise ValueError(
+            f"o0 length {len(o0)} does not match storage rank {sto.ndim}")
+    if o1 is None:
+        o1 = o0
+    check_order(o1)
+    perm1 = find_permutation(o1, o0)   # dest coor -> storage coor
+    perm0 = find_permutation(o0, o1)   # storage coor -> dest coor
+    dim1 = reorder_coor(sto.dim, perm0, 1)
+    if from1 is None:
+        from1 = (0,) * len(o1)
+    if size1 is None:
+        size1 = dim1
+    from0 = reorder_coor(tuple(from1), perm1, 0)
+    size0 = reorder_coor(tuple(size1), perm1, 1)
+    out = []
+    for _blk, ifrom, isize in _block_intersections(sto, from0, size0):
+        rel0 = tuple((i - f) % d for i, f, d in zip(ifrom, from0, sto.dim))
+        dfrm = tuple((f1 + r) % d for f1, r, d in zip(
+            from1, reorder_coor(rel0, perm0, 0), dim1))
+        out.append((dfrm, reorder_coor(isize, perm0, 1)))
+    return out
+
+
+def preallocate_storage(sto: Storage, size: int) -> None:
+    """Reserve ``size`` bytes of physical allocation for the file — a
+    filesystem hint that avoids fragmentation during large block appends
+    (preallocate_storage, storage.h:2427).  KEEP_SIZE semantics: the
+    LOGICAL file layout (append offsets, trailer position) is unchanged,
+    so this is safe at any point; best-effort (silently a no-op where
+    fallocate is unavailable)."""
+    if sto.mode == "r":
+        raise ValueError("storage opened read-only")
+    with sto._lock:
+        f = sto._open()
+        f.flush()
+        try:
+            import ctypes
+            import ctypes.util
+
+            libc = ctypes.CDLL(ctypes.util.find_library("c")
+                               or "libc.so.6", use_errno=True)
+            FALLOC_FL_KEEP_SIZE = 0x01
+            libc.fallocate(ctypes.c_int(f.fileno()),
+                           ctypes.c_int(FALLOC_FL_KEEP_SIZE),
+                           ctypes.c_longlong(0),
+                           ctypes.c_longlong(int(size)))
+        except Exception:
+            pass
+
+
+def flush_storage(sto: Storage) -> None:
+    """Resolve pending asynchronous writes and push buffered bytes to the
+    OS so other processes observe them (flush_storage, storage.h:2434 —
+    the reference resolves its pending MPI_File_iwrite requests the same
+    way)."""
+    with sto._lock:
+        pending = list(sto._pending)
+        sto._pending.clear()
+    # wait OUTSIDE the lock: the IO-pool writers take sto._lock per write
+    for fut in pending:
+        fut.result()
+    with sto._lock:
+        if sto._file is not None and not sto._file.closed:
+            sto._file.flush()
+            os.fsync(sto._file.fileno())
+
+
 def close_storage(sto: Storage) -> None:
-    """Write pending checksums and close (close_storage,
-    storage.h:2451-2462: checksums are flushed on close)."""
+    """Resolve pending async writes, write pending checksums and close
+    (close_storage, storage.h:2451-2462: flush + checksums on close)."""
+    if sto._pending:
+        flush_storage(sto)
     if sto.mode != "r" and sto.checksum_level != 0:
         try:
             check_or_write_checksums(sto)
@@ -916,6 +1013,10 @@ def close_storage_sharded(sto: Storage) -> None:
     if jax.process_count() <= 1:
         close_storage(sto)
         return
+    # local async writes must land BEFORE the barrier: process 0's
+    # trailer CRC re-reads every process's block values after it
+    if sto._pending:
+        flush_storage(sto)
     if flags.get_debug_level() >= 1:
         from .utils.testing import check_collective_consistency
 
@@ -1096,7 +1197,10 @@ def save_async(alpha, x, o0: str, sto: Storage, o1: str, **kw):
     reference posts MPI_File_iwrite_at the same way and resolves the
     pending requests on flush (storage.h:294-342)."""
     arr = _to_numpy(x)   # sync point: snapshot the values now
-    return _get_io_pool().submit(save, alpha, arr, o0, sto, o1, **kw)
+    fut = _get_io_pool().submit(save, alpha, arr, o0, sto, o1, **kw)
+    with sto._lock:
+        sto._pending.append(fut)
+    return fut
 
 
 def save_sharded_async(sto: Storage, x, o: str):
@@ -1134,4 +1238,7 @@ def save_sharded_async(sto: Storage, x, o: str):
                     f"shard box {(frm, size)} has no declared block")
             _write_block(sto, blk, data.astype(sto.dtype))
 
-    return _get_io_pool().submit(write_all)
+    fut = _get_io_pool().submit(write_all)
+    with sto._lock:
+        sto._pending.append(fut)
+    return fut

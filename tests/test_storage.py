@@ -1,6 +1,7 @@
 """S3T storage tests (reference analogs: tests/storage.cpp round-trips with
 all checksum levels and tests/storage_details.cpp byte-level checks)."""
 
+import os
 import struct
 import zlib
 
@@ -511,3 +512,64 @@ def test_save_stream_byteswapped_file(tmp_path):
         raw = f.read()
     arr = np.frombuffer(raw[-12 * 8:], dtype=">f8").reshape(dim)
     np.testing.assert_array_equal(arr, y)
+
+
+def test_read_storage_header(tmp_path):
+    """Header fields without a full open (read_storage_header,
+    storage.h:2161, 2405)."""
+    p = str(tmp_path / "hd.s3t")
+    sto = S.create_storage(p, "xyz", (4, 6, 2), dtype=np.complex64,
+                           metadata="hdr-meta", checksum=1)
+    S.close_storage(sto)
+    dtype, metadata, dim, level = S.read_storage_header(p)
+    assert dtype == np.complex64
+    assert metadata == "hdr-meta"
+    assert dim == (4, 6, 2)
+    assert level == 1
+
+
+def test_get_blocks_windows_and_permutation(tmp_path):
+    """get_blocks returns stored-block overlaps in DESTINATION
+    coordinates (get_blocks, storage.h:1397-1420, 2330-2344)."""
+    p = str(tmp_path / "gb.s3t")
+    sto = S.create_storage(p, "xy", (4, 6), dtype=np.float64)
+    S.append_blocks(sto, [((0, 0), (4, 3)), ((0, 3), (4, 3))])
+    # identity order, full window
+    assert sorted(S.get_blocks(sto, "xy")) == [
+        ((0, 0), (4, 3)), ((0, 3), (4, 3))]
+    # permuted destination order: boxes transpose
+    assert sorted(S.get_blocks(sto, "xy", "yx")) == [
+        ((0, 0), (3, 4)), ((3, 0), (3, 4))]
+    # a window inside one block clips to the window
+    assert S.get_blocks(sto, "xy", "xy", from1=(1, 1), size1=(2, 1)) == [
+        ((1, 1), (2, 1))]
+    # a wrapped window seam-splits (one fragment per linear piece)
+    got = sorted(S.get_blocks(sto, "xy", "xy", from1=(3, 2), size1=(2, 2)))
+    assert got == [((0, 2), (1, 1)), ((0, 3), (1, 1)),
+                   ((3, 2), (1, 1)), ((3, 3), (1, 1))]
+    S.close_storage(sto)
+
+
+def test_flush_and_preallocate(tmp_path):
+    """flush_storage resolves pending async writes and makes the bytes
+    visible to other handles BEFORE close (flush_storage, storage.h:2434);
+    preallocate_storage is a physical-allocation hint that leaves the
+    logical layout untouched (preallocate_storage, storage.h:2427)."""
+    p = str(tmp_path / "fl.s3t")
+    sto = S.create_storage(p, "xy", (4, 4), dtype=np.float64, checksum=1)
+    size_before = os.path.getsize(p)
+    S.preallocate_storage(sto, 1 << 16)
+    assert os.path.getsize(p) == size_before   # KEEP_SIZE: logical size
+    S.append_blocks(sto, [((0, 0), (4, 4))])
+    x = np.arange(16.0).reshape(4, 4)
+    fut = S.save_async(1.0, x, "xy", sto, "xy")
+    S.flush_storage(sto)
+    assert fut.done()
+    other = S.open_storage(p, mode="r")
+    got = S.load(1.0, other, np.zeros((4, 4)), "xy")
+    np.testing.assert_array_equal(got, x)
+    S.close_storage(other)
+    S.close_storage(sto)   # resolves nothing: _pending already drained
+    back = S.open_storage(p, mode="r")
+    S.check_or_write_checksums(back)
+    S.close_storage(back)

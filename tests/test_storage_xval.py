@@ -183,3 +183,25 @@ def test_sharded_write_reference_reads(tmp_path):
                          timeout=60)
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "ok" in out.stdout
+
+
+def test_header_and_blocks_api_on_reference_file(tmp_path):
+    """read_storage_header + get_blocks against a file the REFERENCE
+    implementation wrote (read_storage_header storage.h:2161;
+    get_blocks storage.h:2330-2344)."""
+    f = tmp_path / "ref_api.s3t"
+    exe = _compile(tmp_path, "writer_api", WRITER, f)
+    subprocess.run([str(exe)], check=True, timeout=60)
+
+    dtype, metadata, dim, level = S.read_storage_header(str(f))
+    assert dtype == np.float64
+    assert metadata == "meta!"
+    assert dim == (4, 6)
+    assert level == 2
+
+    sto = S.open_storage(str(f), mode="r")
+    assert sorted(S.get_blocks(sto, "xy")) == [
+        ((0, 0), (4, 3)), ((0, 3), (4, 3))]
+    assert sorted(S.get_blocks(sto, "xy", "yx")) == [
+        ((0, 0), (3, 4)), ((3, 0), (3, 4))]
+    S.close_storage(sto)
