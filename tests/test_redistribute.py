@@ -925,3 +925,24 @@ def test_pack_global_device_jit_cache(mesh1d):
     assert len(R._DEVICE_PACK_CACHE) == n0 + 2
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(x))
     np.testing.assert_array_equal(np.asarray(g2), np.asarray(x))
+
+
+def test_perm_plan_piece_count_guard():
+    """A label-permuting plan above MAX_BOX_PIECES must raise with
+    guidance instead of silently baking thousands of static copies into
+    one lax.switch program (perm forces the boxes packer)."""
+    from superbblas_tpu.parallel import Partition, basic_partitioning
+
+    n = R.RedistributionPlan.MAX_BOX_PIECES + 8
+    dim = (n, 2)
+    src = basic_partitioning("xy", dim, (n, 1))
+    # dst partitions the (1,0)-permuted lattice: rank r owns column r
+    dst = Partition(dim=(2, n), boxes=tuple(
+        ((0, r), (2, 1)) for r in range(n)))
+    with pytest.raises(ValueError, match="MAX_BOX_PIECES"):
+        R.RedistributionPlan(src, dst, "copy", perm=(1, 0))
+    # the same geometry WITHOUT perm builds fine (runs packer)
+    dst_id = Partition(dim=dim, boxes=tuple(
+        ((r, 0), (1, 2)) for r in range(n)))
+    plan = R.RedistributionPlan(src, dst_id, "copy")
+    assert plan.pack == "runs"
