@@ -16,9 +16,15 @@ the same cases, against `numpy_contraction_reference`:
   * 6 distribution pairs (everyone/replicated/master crossings), with
     the sharded mesh axis landing on a batch, contracted, or free label.
 
+Corner widening (round-4 VERDICT item 4): per-case label EXTENTS are
+sampled too — extent-1 labels (broadcast-degenerate axes) and repeated
+extents (size-identical distinct labels, the transposition-ambiguity
+trap a shape check cannot catch) — with the sharded label kept
+mesh-divisible.
+
 Knobs (the `--test=N` analog):
   * SBT_SWEEP_CASE=N  — run exactly case N (bisection);
-  * SBT_SWEEP_N=K     — number of sampled cases (default 120);
+  * SBT_SWEEP_N=K     — number of sampled cases (default 500);
   * SBT_SWEEP_FULL=1  — the full 2000-case soak (slow; off in CI).
 """
 
@@ -40,9 +46,10 @@ def mesh():
 
 
 #: label pools per group: batch (T), contracted (A), x0-only (B),
-#: x1-only (C).  Sizes are small but unequal to catch axis mixups;
-#: the first label of each group is mesh-divisible (size 2/4) so it can
-#: carry a sharded axis.
+#: x1-only (C).  DEFAULT sizes are small but unequal to catch axis
+#: mixups; the first label of each group is mesh-divisible (size 2/4)
+#: so it can carry a sharded axis.  Per-case size overrides widen the
+#: corners (extent 1, repeated extents) — see _gen_case.
 _POOLS = {"T": ("t", "u"), "A": ("a", "d"), "B": ("b", "e"),
           "C": ("c", "f")}
 _SIZES = {"t": 4, "u": 3, "a": 2, "d": 3, "b": 2, "e": 3, "c": 4, "f": 3}
@@ -85,9 +92,27 @@ def _gen_case(rng):
     dist = _DIST_PAIRS[int(rng.integers(0, len(_DIST_PAIRS)))]
     # which label carries the sharded mesh axis in the "everyone" layout
     shard_group = rng.choice(["T", "A", "B", "C"])
+    # corner-widening size overrides: with prob 1/3 force REPEATED
+    # extents (every label the same size — pure transposition ambiguity),
+    # with prob 1/3 sample sizes per label from {1,2,3} (extent-1
+    # broadcast-degenerate axes), else keep the unequal defaults.  The
+    # label that will carry the sharded mesh axis stays divisible by the
+    # axis size (2).
+    used = set(T + A + B + C)
+    mode = int(rng.integers(0, 3))
+    if mode == 0:
+        sizes = dict(_SIZES)
+    elif mode == 1:
+        rep = int(rng.choice([2, 3]))
+        sizes = {c: rep for c in _SIZES}
+    else:
+        sizes = {c: int(rng.choice([1, 2, 3])) for c in _SIZES}
+    pool = _POOLS[str(shard_group)]
+    if pool and pool[0] in used and sizes[pool[0]] % 2:
+        sizes[pool[0]] = 2
     return dict(o0=o0, o1=o1, o_r=o_r, conj0=conj0, conj1=conj1,
                 alpha=alpha, beta=beta, dist=dist,
-                shard_group=str(shard_group))
+                shard_group=str(shard_group), sizes=sizes)
 
 
 def _spec_for(order, dist, shard_label):
@@ -108,7 +133,8 @@ def _place(x, order, dist, shard_label, mesh):
 
 def _run_case(case_idx, case, mesh, atol=1e-12):
     rng = np.random.default_rng(10_000 + case_idx)
-    shapes = {o: tuple(_SIZES[c] for c in case[o])
+    sizes = case.get("sizes", _SIZES)
+    shapes = {o: tuple(sizes[c] for c in case[o])
               for o in ("o0", "o1", "o_r")}
     x0 = (rng.standard_normal(shapes["o0"])
           + 1j * rng.standard_normal(shapes["o0"]))
@@ -145,7 +171,7 @@ def _case_space(n):
 
 def test_contraction_sweep(mesh):
     """The sampled sweep (SBT_SWEEP_CASE bisects; SBT_SWEEP_N resizes)."""
-    n = int(os.environ.get("SBT_SWEEP_N", "120"))
+    n = int(os.environ.get("SBT_SWEEP_N", "500"))
     only = os.environ.get("SBT_SWEEP_CASE")
     for i, case in _case_space(n):
         if only is not None and i != int(only):
