@@ -3,13 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {..}}
 
-The default line is a COMPOSITE over the five flagship paths — dense
+The default line is a COMPOSITE over the seven flagship paths — dense
 MXU contraction, the SoA/Pallas Wilson matvec (f32 and the bf16 speed
-mode), the Pallas permute, and the unaligned general redistribution —
-with ``vs_baseline`` the MIN of the individual ratios (all must hold
-their target for the composite to pass) and per-path numbers in
-``detail``.  The reference publishes no numbers (BASELINE.md); targets
-are derived per chip generation from the hardware tables below:
+mode), the Pallas permute, the unaligned general redistribution, the
+MASKED redistribution, and the gather-mode halo matvec — with
+``vs_baseline`` the MIN of the individual ratios (all must hold their
+target for the composite to pass) and per-path numbers in ``detail``.
+The reference publishes no numbers (BASELINE.md); targets are derived
+per chip generation from the hardware tables below:
 
   dense    >= 60% of the chip's peak bf16 FLOP/s (MXU utilization)
   matvec   achieved GFLOP/s vs the kernel's measured streaming band
@@ -21,6 +22,13 @@ are derived per chip generation from the hardware tables below:
   redist   unaligned (gcd-degenerate) box redistribution through the
            static-copy "boxes" packer vs the 60 GB/s done-criterion
            (VERDICT r2 item 1), scaled by the chip's bandwidth ratio
+  masked   the same 60 GB/s bar with a source mask fused per piece
+           (per-piece fusion holds ~96% of unmasked bandwidth;
+           VERDICT r4 item 5)
+  gather   gather-mode (irregular) halo matvec vs the MEASURED
+           pure-gather roofline at the bench shape (0.100 TF/s-equiv
+           on v5e; experiments/gather_kernel_retune.py), scaled by the
+           chip's bandwidth ratio
 
 Methodology: the device sits behind a high-latency tunnel in this
 environment (dispatch+fetch ~25 ms), so each measurement chains the
@@ -515,13 +523,33 @@ def _flagship(dev):
     # 60 GB/s done-criterion (scaled by the chip's HBM ratio)
     ru_gb, _ = bench_redistribute_unaligned()
     ru_vs = ru_gb / (60.0 * bw_gb / 819.0)
-    return {
+    # masked redistribution: same 60 GB/s done-bar (per-piece mask fusion
+    # must keep it OUT of the old ~7.6 GB/s B=1 regime) — a DEFAULT
+    # composite leg since round 5 so driver captures record it
+    mk_gb, _ = bench_redistribute_masked()
+    mk_vs = mk_gb / (60.0 * bw_gb / 819.0)
+    # gather-mode halo matvec: baseline is the MEASURED pure-gather
+    # roofline at this exact shape (0.100 TF/s-equiv; random 384 B-row
+    # gathers are ~34-45 GB/s on v5e — an access-pattern property, see
+    # experiments/gather_kernel_retune.py), scaled by the chip HBM ratio
+    gh_gf, gh2_gf, _ = bench_gather_halo()
+    gh_vs = gh_gf / (100.3 * bw_gb / 819.0)
+    results = {
         "dense_contraction_gflops": (dense_gf, "GFLOP/s", dense_vs),
         "bsr_wilson_matvec_gflops": (bsr_gf, "GFLOP/s", bsr_vs),
         "bsr_wilson_matvec_bf16_gflops": (b16_gf, "GFLOP/s", b16_vs),
         "permute_copy_bandwidth": (cp_gb, "GB/s", cp_vs),
         "unaligned_redistribution_bandwidth": (ru_gb, "GB/s", ru_vs),
+        "masked_redistribution_bandwidth": (mk_gb, "GB/s", mk_vs),
+        "gather_halo_matvec_gflops": (gh_gf, "GFLOP/s", gh_vs),
     }
+    # CA power=2 rides the gather leg but is informational (vs = ratio to
+    # the power-1 gather, not a hard bar) — printed under --all only
+    extras = {
+        "gather_halo_matvec_power2_gflops":
+            (gh2_gf, "GFLOP/s", gh2_gf / max(gh_gf, 1e-9)),
+    }
+    return results, extras
 
 
 def main():
@@ -534,7 +562,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     dev = jax.devices()[0]
-    results = _flagship(dev)
+    results, extras = _flagship(dev)
     if "--all" not in sys.argv:
         # ONE composite line: min vs_baseline across the flagship paths
         vs = min(v for _, _, v in results.values())
@@ -594,34 +622,15 @@ def main():
         # done-criterion: within 2x of the plain shift/copy bandwidth
         "vs_baseline": round(2.0 * re_gb / max(sh_gb, 1e-9), 4),
     }))
-    bw_gb = chip_bandwidth(dev) / 1e9
-    mk_gb, _ = bench_redistribute_masked()
-    print(json.dumps({
-        "metric": "masked_redistribution_bandwidth",
-        "value": round(mk_gb, 1),
-        "unit": "GB/s",
-        # same 60 GB/s done-bar as the unaligned leg (round-3 item 2:
-        # masked copies must not fall back to the B=1 regime)
-        "vs_baseline": round(mk_gb / (60.0 * bw_gb / 819.0), 4),
-    }))
-    gh_gf, gh2_gf, _ = bench_gather_halo()
-    # baseline: the MEASURED pure-gather roofline at this exact shape —
-    # a gather of the same rows with NO matmul runs at 0.100 TF/s-equiv
-    # (experiments/gather_kernel_retune.py v4; random 384 B-row gathers
-    # are ~34-45 GB/s on v5e, an access-pattern property).  Scaled by
-    # the chip's HBM ratio.
-    print(json.dumps({
-        "metric": "gather_halo_matvec_gflops",
-        "value": round(gh_gf, 1),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(gh_gf / (100.3 * bw_gb / 819.0), 4),
-    }))
-    print(json.dumps({
-        "metric": "gather_halo_matvec_power2_gflops",
-        "value": round(gh2_gf, 1),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(gh2_gf / max(gh_gf, 1e-9), 4),
-    }))
+    # masked redistribution + gather-halo are DEFAULT composite legs
+    # (printed above); only the informational extras remain here
+    for k, (val, unit, r) in extras.items():
+        print(json.dumps({
+            "metric": k,
+            "value": round(val, 1),
+            "unit": unit,
+            "vs_baseline": round(r, 4),
+        }))
 
 
 if __name__ == "__main__":
