@@ -100,13 +100,22 @@ print(f"lat={lat} mass={args.mass} ncols={args.ncols} tol={args.tol} "
       f"smooth={args.smooth} K={args.K} layout={args.layout} "
       f"platform={jax.devices()[0].platform}", flush=True)
 
-# ---- setup (amortized) ----
+# ---- setup (amortized; staged timing per VERDICT r4 item 6) ----
 t0 = time.perf_counter()
 P = build_prolongator_chiral(op, K=args.K, setup_iters=args.setup_iters)
-M = mg_preconditioner_d(op, P, smooth_steps=args.smooth)
-t_setup = time.perf_counter() - t0
-print(f"setup: {t_setup:.1f}s (chiral prolongator 2K={2 * args.K} + "
-      f"Galerkin + LU)", flush=True)
+jax.block_until_ready(P.re)
+t_prol = time.perf_counter() - t0
+t0 = time.perf_counter()
+A_c = coarse_matrix(op, P, normal=False)
+jax.block_until_ready(A_c.re)
+t_gal = time.perf_counter() - t0
+t0 = time.perf_counter()
+M = mg_preconditioner_d(op, P, A_c=A_c, smooth_steps=args.smooth)
+t_lu = time.perf_counter() - t0
+t_setup = t_prol + t_gal + t_lu
+print(f"setup: {t_setup:.1f}s (chiral prolongator 2K={2 * args.K} "
+      f"{t_prol:.1f}s + Galerkin {t_gal:.1f}s + LU {t_lu:.1f}s)",
+      flush=True)
 
 
 def timed(make):
@@ -137,6 +146,8 @@ out = {"lat": lat, "mass": args.mass, "ncols": args.ncols,
        "cgne_iters": int(itc), "cgne_s": round(t_cgne, 3),
        "mg_iters": int(itm), "mg_s": round(t_mg, 3),
        "setup_s": round(t_setup, 2),
+       "setup_prolongator_s": round(t_prol, 2),
+       "setup_galerkin_s": round(t_gal, 2), "setup_lu_s": round(t_lu, 2),
        "d_apply_cut": round(2 * int(itc) / max(dmg, 1), 2),
        "wallclock_speedup": round(t_cgne / t_mg, 3)}
 

@@ -121,6 +121,69 @@ def _unaggregate(x: cplx.CArray, block: Tuple[int, ...], sc=(4, 3)):
     return cplx.cmap(ua, x)
 
 
+def _block_cholqr(agg: cplx.CArray, passes: int = 2) -> cplx.CArray:
+    """Batched thin QR of ``[*batch, dof, K]`` split-complex aggregate
+    blocks, entirely ON DEVICE (CholeskyQR2): per pass form the K x K
+    Gram G = A^H A by two batched GEMMs, Cholesky-factorize G = L L^H
+    with a K-unrolled split-complex recurrence (K <= 16 here), and
+    forward-substitute A <- A L^{-H}.  Two passes reach orthonormality at
+    working precision for the well-conditioned smoothed-random bases the
+    multigrid setup produces (cond(A) well under 1/sqrt(eps)); the
+    round-4 host ``np.linalg.qr`` loop this replaces serialized setup
+    through the device tunnel.  Reference analog: the distributed dense
+    factorization layer (dense.h:504-569) the reference applies to such
+    per-aggregate panels."""
+    K = agg.shape[-1]
+
+    def one_pass(q: cplx.CArray) -> cplx.CArray:
+        qre, qim = q.re, q.im
+        # Gram G[k,l] = sum_d conj(Q[d,k]) Q[d,l]  -> [*batch, K, K]
+        gre = (jnp.einsum("...dk,...dl->...kl", qre, qre)
+               + jnp.einsum("...dk,...dl->...kl", qim, qim))
+        gim = (jnp.einsum("...dk,...dl->...kl", qre, qim)
+               - jnp.einsum("...dk,...dl->...kl", qim, qre))
+        # split-complex Cholesky G = L L^H, unrolled over the tiny K
+        Lre = [[None] * K for _ in range(K)]
+        Lim = [[None] * K for _ in range(K)]
+        for j in range(K):
+            s = gre[..., j, j]
+            for k in range(j):
+                s = s - (Lre[j][k] * Lre[j][k] + Lim[j][k] * Lim[j][k])
+            d = jnp.sqrt(jnp.maximum(s, 1e-30))
+            Lre[j][j] = d
+            for i in range(j + 1, K):
+                sre = gre[..., i, j]
+                sim = gim[..., i, j]
+                for k in range(j):
+                    # subtract L[i,k] * conj(L[j,k])
+                    sre = sre - (Lre[i][k] * Lre[j][k]
+                                 + Lim[i][k] * Lim[j][k])
+                    sim = sim - (Lim[i][k] * Lre[j][k]
+                                 - Lre[i][k] * Lim[j][k])
+                Lre[i][j] = sre / d
+                Lim[i][j] = sim / d
+        # forward substitution Q L^H = A:
+        #   Q[:,j] = (A[:,j] - sum_{k<j} Q[:,k] conj(L[j,k])) / L[j,j]
+        qn_re, qn_im = [], []
+        for j in range(K):
+            nre, nim = qre[..., j], qim[..., j]
+            for k in range(j):
+                a = Lre[j][k][..., None]
+                b = Lim[j][k][..., None]
+                nre = nre - (qn_re[k] * a + qn_im[k] * b)
+                nim = nim - (qn_im[k] * a - qn_re[k] * b)
+            d = Lre[j][j][..., None]
+            qn_re.append(nre / d)
+            qn_im.append(nim / d)
+        return cplx.CArray(jnp.stack(qn_re, axis=-1),
+                           jnp.stack(qn_im, axis=-1))
+
+    q = agg
+    for _ in range(passes):
+        q = one_pass(q)
+    return q
+
+
 def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
                       setup_iters: int = 8, key=0, normal: bool = True):
     """Near-null aggregation prolongator P: CArray [*clat, dof, K] with
@@ -141,29 +204,25 @@ def build_prolongator(op: BSROperator, block=(2, 2, 2, 2), K: int = 4,
 
     from ..solvers import power_iteration
 
-    # one jitted program for the whole smoothing stage (power iteration
-    # + setup_iters weighted-Richardson steps): per-op eager dispatch is
-    # tunnel-latency-bound on real hardware (round-4 mg_wallclock setup
-    # measured 531 s eager at 8^4)
-    def _smooth(v):
+    # ONE jitted program for the whole setup stage (power iteration +
+    # setup_iters weighted-Richardson steps as a fori_loop + aggregation
+    # + device CholeskyQR2): per-op eager dispatch is tunnel-latency-
+    # bound on real hardware (round-4 mg_wallclock measured 531 s eager
+    # at 8^4), and the fori_loop keeps the compiled program one smoother
+    # body instead of setup_iters unrolled stencil applies
+    def _setup(v):
         lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v),
                                  iters=20)
         omega = 0.8 / jnp.maximum(lam, 1e-30)
-        for _ in range(setup_iters):
+
+        def body(_, v):
             av = A(v)
-            v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
-        return v
+            return cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
 
-    v = jax.jit(_smooth)(v)
+        v = jax.lax.fori_loop(0, setup_iters, body, v)
+        return _block_cholqr(_aggregate(v, block, n_blk=len(blk)))
 
-    # aggregate + batched QR orthonormalization (complex via the dense
-    # layer's interleaved real embedding is overkill here: QR per
-    # aggregate on the [dof, K] complex matrix done in numpy setup)
-    agg = _aggregate(v, block, n_blk=len(blk))   # [*clat, dof, K]
-    a_np = np.asarray(agg.re) + 1j * np.asarray(agg.im)
-    q, _ = np.linalg.qr(a_np.reshape(-1, a_np.shape[-2], a_np.shape[-1]))
-    q = q.reshape(a_np.shape[:4] + q.shape[-2:])
-    return cplx.CArray(jnp.asarray(q.real), jnp.asarray(q.imag))
+    return jax.jit(_setup)(v)
 
 
 def _prolong(P: cplx.CArray, c: cplx.CArray, block, sc=(4, 3)):
@@ -416,21 +475,6 @@ def build_prolongator_chiral(op: BSROperator, block=(2, 2, 2, 2),
 
     from ..solvers import power_iteration
 
-    # one jitted program for the whole smoothing stage (power iteration
-    # + setup_iters weighted-Richardson steps): per-op eager dispatch is
-    # tunnel-latency-bound on real hardware (round-4 mg_wallclock setup
-    # measured 531 s eager at 8^4)
-    def _smooth(v):
-        lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v),
-                                 iters=20)
-        omega = 0.8 / jnp.maximum(lam, 1e-30)
-        for _ in range(setup_iters):
-            av = A(v)
-            v = cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
-        return v
-
-    v = jax.jit(_smooth)(v)
-
     # chiral doubling: [..., 4, 3, K] -> [..., 4, 3, 2K] with the upper
     # (spins 0:2) and lower (spins 2:4) halves in separate columns
     def double(a):
@@ -438,12 +482,24 @@ def build_prolongator_chiral(op: BSROperator, block=(2, 2, 2, 2),
         dn = a.at[..., :2, :, :].set(0.0)
         return jnp.concatenate([up, dn], axis=-1)
 
-    w = cplx.cmap(double, v)
-    agg = _aggregate(w, block, n_blk=len(blk))   # [*clat, dof, 2K]
-    a_np = np.asarray(agg.re) + 1j * np.asarray(agg.im)
-    q, _ = np.linalg.qr(a_np.reshape(-1, a_np.shape[-2], a_np.shape[-1]))
-    q = q.reshape(a_np.shape[:4] + q.shape[-2:])
-    return cplx.CArray(jnp.asarray(q.real), jnp.asarray(q.imag))
+    # ONE jitted program: smoothing (fori_loop body, not setup_iters
+    # unrolled applies) + chiral doubling + aggregation + device
+    # CholeskyQR2 — the basis never leaves the device (the round-4 host
+    # np.linalg.qr loop serialized setup through the device tunnel)
+    def _setup(v):
+        lam, _ = power_iteration(A, cplx.cmap(lambda a: a[..., :1], v),
+                                 iters=20)
+        omega = 0.8 / jnp.maximum(lam, 1e-30)
+
+        def body(_, v):
+            av = A(v)
+            return cplx.CArray(v.re - omega * av.re, v.im - omega * av.im)
+
+        v = jax.lax.fori_loop(0, setup_iters, body, v)
+        w = cplx.cmap(double, v)
+        return _block_cholqr(_aggregate(w, block, n_blk=len(blk)))
+
+    return jax.jit(_setup)(v)
 
 
 def mg_preconditioner_d(op: BSROperator, P: cplx.CArray,

@@ -476,3 +476,30 @@ def test_level_apply_soa_matches_aos():
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(ys.im), np.asarray(ya.im),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_block_cholqr_matches_host_qr_column_space():
+    """The device CholeskyQR2 (`_block_cholqr`) must produce per-block
+    orthonormal columns spanning EXACTLY the input column space — the
+    oracle is np.linalg.qr through the projector Q Q^H, which is basis-
+    independent.  Includes a poorly-scaled input (columns spread over 6
+    orders of magnitude) to exercise the two-pass correction."""
+    from superbblas_tpu.models.multigrid import _block_cholqr
+
+    rng = np.random.default_rng(7)
+    B, dof, K = 5, 48, 8
+    a = rng.standard_normal((B, dof, K)) + 1j * rng.standard_normal(
+        (B, dof, K))
+    # poorly scaled columns: cond(A) ~ 1e6, still within CholeskyQR2
+    # range at f64
+    a = a * np.logspace(0, -6, K)[None, None, :]
+    q = _block_cholqr(cplx.CArray(jnp.asarray(a.real), jnp.asarray(a.imag)))
+    qm = np.asarray(q.re) + 1j * np.asarray(q.im)
+    # orthonormal per block
+    g = np.einsum("bdi,bdj->bij", np.conj(qm), qm)
+    assert np.abs(g - np.eye(K)).max() < 1e-10
+    # same column space as the host QR (projector oracle)
+    q_host = np.linalg.qr(a)[0]
+    p_dev = np.einsum("bdi,bei->bde", qm, np.conj(qm))
+    p_host = np.einsum("bdi,bei->bde", q_host, np.conj(q_host))
+    assert np.abs(p_dev - p_host).max() < 1e-8
