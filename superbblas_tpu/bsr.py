@@ -32,6 +32,7 @@ the per-step collectives with compute.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -85,9 +86,20 @@ def bsr_cast_storage(op: "BSROperator", dtype) -> "BSROperator":
     their original precision — they are compile-time constants on the
     Pallas path.  Reference analog: the per-precision operator handles
     of create_bsr (bsr.h:2287, template_types.h:13-83)."""
-    blocks = (cplx.cmap(lambda a: a.astype(dtype), op.blocks)
-              if cplx.is_carray(op.blocks) else op.blocks.astype(dtype))
-    return BSROperator(**{**op.__dict__, "blocks": blocks})
+    from .utils.hostcache import asarray_cached, host_value
+
+    def _cast(a):
+        # cast host-side when the host value is available so the stored
+        # blocks keep their host cache (utils/hostcache.py: jit-constant
+        # lowering then never fetches through the device tunnel)
+        hv = host_value(a)
+        if hv is not None:
+            return asarray_cached(hv.astype(dtype))
+        return a.astype(dtype)
+
+    blocks = (cplx.cmap(_cast, op.blocks)
+              if cplx.is_carray(op.blocks) else _cast(op.blocks))
+    return dataclasses.replace(op, blocks=blocks)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -222,9 +234,21 @@ def bsr_from_stencil(
     hot layout; the matvec runs in the Pallas stencil kernel — requires a
     4D lattice with one-hot +-1 offsets, T % 128 == 0, Z % 8 == 0).
     """
+    from .utils.hostcache import asarray_cached, host_value
+
+    def _leaf_to_device(a):
+        # numpy-built constants go to the device WITH their host value
+        # attached: jit lowering then embeds them from host memory
+        # instead of fetching device->host through the axon tunnel
+        # (utils/hostcache.py — measured 78-953 s stalls per constant)
+        hv = host_value(a)
+        return a if hv is None else asarray_cached(hv)
+
     blocks = cplx.asarray(blocks)
     if kron is not None:
         kron = cplx.asarray(kron)
+        if cplx.is_carray(kron):
+            kron = cplx.cmap(_leaf_to_device, kron)
     if layout == "soa":
         from .ops.stencil_pallas import soa_eligible
 
@@ -236,14 +260,26 @@ def bsr_from_stencil(
         if not soa_eligible(offsets, dim_lat, bi_v, bd_v, ki_v, kd_v):
             raise ValueError("stencil not eligible for the SoA/Pallas layout")
         if not cplx.is_carray(blocks):
-            blocks = cplx.CArray(blocks, jnp.zeros_like(blocks))
-        # [*lat, ndir, BI, BD] -> [ndir, BI*BD, *lat]
-        blocks = cplx.cmap(
-            lambda a: jnp.transpose(
-                a, (nlat, nlat + 1, nlat + 2) + tuple(range(nlat))
-            ).reshape((a.shape[nlat], bi_v * bd_v) + tuple(dim_lat)),
-            blocks,
-        )
+            z = (np.zeros_like if isinstance(blocks, np.ndarray)
+                 else jnp.zeros_like)
+            blocks = cplx.CArray(blocks, z(blocks))
+        # [*lat, ndir, BI, BD] -> [ndir, BI*BD, *lat]; run the layout
+        # permutation HOST-SIDE when the host value is available so the
+        # SoA operator's blocks keep their host cache (see _leaf_to_device)
+        perm = (nlat, nlat + 1, nlat + 2) + tuple(range(nlat))
+
+        def _soa_tr(a, xp):
+            return xp.transpose(a, perm).reshape(
+                (a.shape[nlat], bi_v * bd_v) + tuple(dim_lat))
+
+        hre, him = host_value(blocks.re), host_value(blocks.im)
+        if hre is not None and him is not None:
+            blocks = cplx.CArray(asarray_cached(_soa_tr(hre, np)),
+                                 asarray_cached(_soa_tr(him, np)))
+        else:
+            blocks = cplx.cmap(lambda a: _soa_tr(a, jnp), blocks)
+    elif cplx.is_carray(blocks):
+        blocks = cplx.cmap(_leaf_to_device, blocks)
     lat_i = "".join(c for c in oim if c not in block_i and c not in (kron_i or {}))
     lat_d = "".join(c for c in odm if c not in block_d and c not in (kron_d or {}))
     blk_i = "".join(c for c in oim if c in block_i)

@@ -135,8 +135,8 @@ def wilson_clover_operator(
         lat_labels + "Sc", lat_labels + "SC",
         lat_dims, {"S": NS, "c": NC}, {"S": NS, "C": NC},
         [(0, 0, 0, 0)],
-        cplx.CArray(jnp.asarray(cblk.real.astype(part_dt)),
-                    jnp.asarray(cblk.imag.astype(part_dt))),
+        cplx.CArray(cblk.real.astype(part_dt),
+                    cblk.imag.astype(part_dt)),
         layout=layout,
     )
     return CloverOperator(hop=hop, clover=clover, c_sw=c_sw)

@@ -79,8 +79,8 @@ def coarse_operator(
         lat_labels + "c", lat_labels + "C",
         lat_dims, {"c": nc}, {"C": nc},
         offsets,
-        cplx.CArray(jnp.asarray(vals.real.astype(part_dt)),
-                    jnp.asarray(vals.imag.astype(part_dt))),
+        cplx.CArray(vals.real.astype(part_dt),
+                    vals.imag.astype(part_dt)),
     )
 
 

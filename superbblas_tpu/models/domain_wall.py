@@ -224,8 +224,8 @@ def domain_wall_operator(
         "sxyztSc", "sxyztSC",
         lat5, {"S": NS, "c": NC}, {"S": NS, "C": NC},
         offsets,
-        cplx.CArray(jnp.asarray(vals.real.astype(part_dt)),
-                    jnp.asarray(vals.imag.astype(part_dt))),
+        cplx.CArray(vals.real.astype(part_dt),
+                    vals.imag.astype(part_dt)),
     )
 
 
@@ -350,8 +350,8 @@ def mobius_operator(
         "sxyztSc", "sxyztSC",
         lat5, {"S": NS, "c": NC}, {"S": NS, "C": NC},
         offsets,
-        cplx.CArray(jnp.asarray(vals.real.astype(part_dt)),
-                    jnp.asarray(vals.imag.astype(part_dt))),
+        cplx.CArray(vals.real.astype(part_dt),
+                    vals.imag.astype(part_dt)),
     )
 
 

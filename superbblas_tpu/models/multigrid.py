@@ -41,6 +41,22 @@ __all__ = ["build_prolongator", "coarse_matrix", "coarse_bsr_operator",
            "build_prolongator_chiral", "mg_preconditioner_d"]
 
 
+def _warm_host_cache(*arrays):
+    """Materialize host values for arrays that become jit closure
+    constants of the SOLVE programs (P, coarse factorizations): one
+    device->host fetch now, at setup, while the dispatch queue is short —
+    instead of mid-lower at the first solve compile, where a congested
+    tunnel turns each fetch into a multi-minute stall
+    (utils/hostcache.py; jax caches the value on the array)."""
+    for a in arrays:
+        if a is None:
+            continue
+        if cplx.is_carray(a):
+            np.asarray(a.re), np.asarray(a.im)
+        elif hasattr(a, "shape"):
+            np.asarray(a)
+
+
 def _blk_shape(op: BSROperator) -> Tuple[int, ...]:
     """Canonical per-site block shape: (KD, BD) for Kronecker operators
     (Wilson: (4, 3)), (BD,) for plain stencils (coarse BSR: (K,))."""
@@ -280,6 +296,7 @@ def two_grid_preconditioner(op: BSROperator, P: cplx.CArray, A_c: cplx.CArray,
     # costs a triangular solve, not a fresh O(M^3) factorization
     a2 = jnp.block([[A_c.re, -A_c.im], [A_c.im, A_c.re]])
     chol = jax.scipy.linalg.cho_factor(a2)
+    _warm_host_cache(chol[0], P)
     clat = P.shape[:4]
     K = P.shape[-1]
 
@@ -531,6 +548,7 @@ def mg_preconditioner_d(op: BSROperator, P: cplx.CArray,
     # real embedding of the NON-Hermitian coarse matrix: LU, not Cholesky
     a2 = jnp.block([[A_c.re, -A_c.im], [A_c.im, A_c.re]])
     lu = jax.scipy.linalg.lu_factor(a2)
+    _warm_host_cache(lu[0], lu[1], P)
     clat = P.shape[:4]
     K2 = P.shape[-1]
     blk = _blk_shape(op)
@@ -618,9 +636,11 @@ def coarse_bsr_operator(op: BSROperator, P: cplx.CArray,
             "Galerkin coarse operator is not nearest-neighbor on the "
             "coarse lattice (aggregate width < stencil reach?)")
 
+    # numpy-backed parts: bsr_from_stencil attaches host caches so jit
+    # programs closing over the coarse operator lower without a fetch
     return bsr_from_stencil(
         "xyztc", "xyztC", clat, {"c": K}, {"C": K}, offsets,
-        cplx.CArray(jnp.asarray(blocks.real), jnp.asarray(blocks.imag)),
+        cplx.CArray(blocks.real, blocks.imag),
     )
 
 

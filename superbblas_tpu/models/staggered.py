@@ -92,8 +92,8 @@ def staggered_operator(
         lat_labels + "c", lat_labels + "C",
         lat_dims, {"c": NC}, {"C": NC},
         offsets,
-        cplx.CArray(jnp.asarray(vals.real.astype(part_dt)),
-                    jnp.asarray(vals.imag.astype(part_dt))),
+        cplx.CArray(vals.real.astype(part_dt),
+                    vals.imag.astype(part_dt)),
         layout=layout,
     )
 

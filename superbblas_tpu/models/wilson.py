@@ -22,6 +22,8 @@ datapath, so links/gammas are generated host-side in numpy and stored as
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Optional, Tuple, Union
 
 import jax
@@ -124,14 +126,17 @@ def wilson_operator(
     blocks = np.stack(color_blocks, axis=nd).astype(np.complex128)
     kron = np.stack(spin_factors, axis=0)
     lat_labels = "xyzt"[:nd]
+    # numpy-backed parts: bsr_from_stencil uploads them WITH the host
+    # value attached (utils/hostcache.py), so jit programs that close
+    # over the operator lower without a device->host fetch
     op = bsr_from_stencil(
         lat_labels + "Sc", lat_labels + "SC",
         lat_dims, {"c": NC}, {"C": NC},
         offsets,
-        cplx.CArray(jnp.asarray(blocks.real.astype(part_dt)),
-                    jnp.asarray(blocks.imag.astype(part_dt))),
-        kron=cplx.CArray(jnp.asarray(kron.real.astype(part_dt)),
-                         jnp.asarray(kron.imag.astype(part_dt))),
+        cplx.CArray(blocks.real.astype(part_dt),
+                    blocks.imag.astype(part_dt)),
+        kron=cplx.CArray(kron.real.astype(part_dt),
+                         kron.imag.astype(part_dt)),
         kron_i={"S": NS}, kron_d={"S": NS},
         layout=layout,
     )
@@ -158,80 +163,134 @@ def apply_wilson(op: BSROperator, x) -> Union[jax.Array, cplx.CArray]:
 
 
 def _adjoint_soa(op: BSROperator) -> BSROperator:
-    """Adjoint of an SoA stencil operator: blocks [ndir, bi*bd, *lat]."""
+    """Adjoint of an SoA stencil operator: blocks [ndir, bi*bd, *lat].
+
+    When the operator's blocks carry a host cache (utils/hostcache.py)
+    the adjoint blocks are built host-side in numpy — same permutation
+    algebra, but the result keeps a host cache too, so jit programs
+    closing over the adjoint lower without a tunnel fetch."""
     from ..labels import volume as _vol
+    from ..utils.hostcache import asarray_cached, host_value
 
     bi, bd = _vol(op.bi), _vol(op.bd)
 
-    def adj(a):
+    def adj(a, xp):
         ndir, FB = a.shape[0], a.shape[1]
         lat = a.shape[2:]
         a = a.reshape((ndir, bi, bd) + lat)
-        a = jnp.swapaxes(a, 1, 2)              # transpose block
+        a = xp.swapaxes(a, 1, 2)              # transpose block
         rows = []
         for k in range(ndir):
             blk = a[k]
             for ax, off in enumerate(op.offsets[k]):
                 if off % lat[ax] != 0:
-                    blk = jnp.roll(blk, off, axis=2 + ax)
+                    blk = xp.roll(blk, off, axis=2 + ax)
             rows.append(blk)
-        return jnp.stack(rows, 0).reshape((ndir, FB) + lat)
+        return xp.stack(rows, 0).reshape((ndir, FB) + lat)
 
-    blocks_adj = cplx.conj(cplx.cmap(adj, op.blocks))
+    hre = host_value(op.blocks.re) if cplx.is_carray(op.blocks) else None
+    him = host_value(op.blocks.im) if cplx.is_carray(op.blocks) else None
+    if hre is not None and him is not None:
+        blocks_adj = cplx.CArray(asarray_cached(adj(hre, np)),
+                                 asarray_cached(-adj(him, np)))
+    else:
+        blocks_adj = cplx.conj(cplx.cmap(lambda a: adj(a, jnp), op.blocks))
     kron_adj = None
     if op.kron is not None:
-        kron_adj = cplx.conj(cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2),
-                                       op.kron))
-    return BSROperator(
-        **{**op.__dict__,
-           "blocks": blocks_adj,
-           "kron": kron_adj,
-           "offsets": tuple(tuple(-o for o in off) for off in op.offsets)},
-    )
+        kre, kim = host_value(op.kron.re), host_value(op.kron.im)
+        if kre is not None and kim is not None:
+            kron_adj = cplx.CArray(
+                asarray_cached(np.swapaxes(kre, -1, -2)),
+                asarray_cached(-np.swapaxes(kim, -1, -2)))
+        else:
+            kron_adj = cplx.conj(
+                cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), op.kron))
+    return dataclasses.replace(
+        op, blocks=blocks_adj, kron=kron_adj,
+        offsets=tuple(tuple(-o for o in off) for off in op.offsets))
 
 
 def adjoint_operator(op: BSROperator) -> BSROperator:
     """The conjugate-transposed stencil operator: direction k's adjoint
-    has offset -o_k and block A_k(s - o_k)^H."""
+    has offset -o_k and block A_k(s - o_k)^H.
+
+    Memoized per operator instance (the adjoint pair links both ways, so
+    ``adjoint(adjoint(op)) is op``): every jit trace of a normal-equation
+    apply used to REBUILD the adjoint eagerly — dozens of small device
+    dispatches per trace, and a fresh set of uncached jit-constant blocks
+    whose lowering re-fetched them through the device tunnel each time
+    (utils/hostcache.py; measured 78-953 s per constant on axon).  When
+    the operator blocks carry a host cache the adjoint blocks are built
+    host-side and cached the same way."""
+    cached = getattr(op, "_adjoint_cache", None)
+    if cached is not None:
+        return cached
+    if any(isinstance(leaf, jax.core.Tracer)
+           for leaf in jax.tree_util.tree_leaves(op)):
+        # traced operator (op passed through a jit boundary): build a
+        # per-trace adjoint and do NOT memoize — caching trace-scoped
+        # values on a longer-lived object leaks tracers
+        return _adjoint_any(op)
+    # concrete operator: construct eagerly even when called mid-trace
+    # (the first _level_apply trace runs inside jit) so the memoized
+    # adjoint holds real arrays, not trace-scoped constants
+    with jax.ensure_compile_time_eval():
+        adj = _adjoint_any(op)
+    try:
+        object.__setattr__(op, "_adjoint_cache", adj)
+        object.__setattr__(adj, "_adjoint_cache", op)
+    except Exception:
+        pass
+    return adj
+
+
+def _adjoint_any(op: BSROperator) -> BSROperator:
+    from ..utils.hostcache import asarray_cached, host_value
+
     if op.mode == "stencil_soa":
         return _adjoint_soa(op)
     nd = len(op.dim_d)
     ndir = op.ndir
 
-    def _adj_blocks(blocks):
-        blocks_h = cplx.conj(
-            cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), blocks)
-            if cplx.is_carray(blocks) else jnp.swapaxes(blocks, -1, -2)
-        )
+    def _adj_part(a, xp):
+        """swap-roll-stack on one real part (conj = caller negates im)."""
+        ah = xp.swapaxes(a, -1, -2)
         shifted = []
         for k in range(ndir):
-            idx = (slice(None),) * nd + (k,)
-            blk = (cplx.cmap(lambda v: v[idx], blocks_h)
-                   if cplx.is_carray(blocks_h) else blocks_h[idx])
+            blk = ah[(slice(None),) * nd + (k,)]
             for ax, off in enumerate(op.offsets[k]):
                 if off % op.dim_i[ax] != 0:
-                    roll = lambda v, o=off, a=ax: jnp.roll(v, o, axis=a)
-                    blk = cplx.cmap(roll, blk) if cplx.is_carray(blk) else roll(blk)
+                    blk = xp.roll(blk, off, axis=ax)
             shifted.append(blk)
-        if cplx.is_carray(shifted[0]):
-            return cplx.CArray(
-                jnp.stack([b.re for b in shifted], axis=nd),
-                jnp.stack([b.im for b in shifted], axis=nd),
-            )
-        return jnp.stack(shifted, axis=nd)
+        return xp.stack(shifted, axis=nd)
+
+    if cplx.is_carray(op.blocks):
+        hre, him = host_value(op.blocks.re), host_value(op.blocks.im)
+        if hre is not None and him is not None:
+            blocks_adj = cplx.CArray(asarray_cached(_adj_part(hre, np)),
+                                     asarray_cached(-_adj_part(him, np)))
+        else:
+            blocks_adj = cplx.CArray(_adj_part(op.blocks.re, jnp),
+                                     -_adj_part(op.blocks.im, jnp))
+    else:
+        blocks_adj = _adj_part(op.blocks, jnp)
 
     kron_adj = None
     if op.kron is not None:
-        kron_adj = cplx.conj(
-            cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), op.kron)
-            if cplx.is_carray(op.kron) else jnp.swapaxes(op.kron, -1, -2)
-        )
-    return BSROperator(
-        **{**op.__dict__,
-           "blocks": _adj_blocks(op.blocks),
-           "kron": kron_adj,
-           "offsets": tuple(tuple(-o for o in off) for off in op.offsets)},
-    )
+        if cplx.is_carray(op.kron):
+            kre, kim = host_value(op.kron.re), host_value(op.kron.im)
+            if kre is not None and kim is not None:
+                kron_adj = cplx.CArray(
+                    asarray_cached(np.swapaxes(kre, -1, -2)),
+                    asarray_cached(-np.swapaxes(kim, -1, -2)))
+            else:
+                kron_adj = cplx.conj(
+                    cplx.cmap(lambda v: jnp.swapaxes(v, -1, -2), op.kron))
+        else:
+            kron_adj = jnp.swapaxes(op.kron, -1, -2)
+    return dataclasses.replace(
+        op, blocks=blocks_adj, kron=kron_adj,
+        offsets=tuple(tuple(-o for o in off) for off in op.offsets))
 
 
 def apply_wilson_dagger(op: BSROperator, x):
@@ -329,4 +388,4 @@ def twisted_mass_operator(
         im = kr.im.at[0].add(jnp.asarray(tw.imag, kr.im.dtype))
         return cplx.CArray(re, im)
 
-    return BSROperator(**{**op.__dict__, "kron": add_tw(op.kron)})
+    return dataclasses.replace(op, kron=add_tw(op.kron))
